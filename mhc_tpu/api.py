@@ -1,0 +1,127 @@
+"""Public single-process API: compress / decompress.
+
+Capability parity: reference L4 encode/decode drivers (SURVEY.md §2 L4,
+§3.1–3.3; mount empty, §0) — two-pass encode (stats, then emit) and
+single-pass decode — re-expressed as batched device programs:
+
+  compress:   bytes -> (B, n) block batch -> histogram (MXU matmul)
+              -> code lengths (vmapped tree-free Huffman) -> canonical
+              tables -> block-parallel bit-pack -> container assembly
+  decompress: container -> tables from lengths -> block-parallel scan
+              decode -> bytes (+ crc verify)
+
+Multi-chip sharded variants live in `parallel/pipeline.py`.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import container
+from .models.entropy import get_model
+from .ops import bitpack
+
+DEFAULT_BLOCK_SIZE = 64 * 1024
+
+
+def _default_hist_method() -> str:
+    platform = jax.default_backend()
+    return "scatter" if platform == "cpu" else "matmul"
+
+
+def blockify(data: bytes | np.ndarray, block_size: int):
+    """bytes -> ((B, block_size) uint8 padded batch, (B,) int32 valid)."""
+    flat = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) \
+        else np.asarray(data, dtype=np.uint8).reshape(-1)
+    n = flat.size
+    if n == 0:
+        return np.zeros((0, block_size), np.uint8), np.zeros((0,), np.int32)
+    B = (n + block_size - 1) // block_size
+    padded = np.zeros(B * block_size, dtype=np.uint8)
+    padded[:n] = flat
+    n_valid = np.full(B, block_size, dtype=np.int32)
+    n_valid[-1] = n - (B - 1) * block_size
+    return padded.reshape(B, block_size), n_valid
+
+
+def build_tables(model, blocks: np.ndarray, n_valid: np.ndarray,
+                 hist_method: str | None = None):
+    """Two-pass stage 1: global histogram + canonical tables. Returns
+    (tables dict of device arrays, lengths uint8 host array for the header)."""
+    model = get_model(model)
+    method = hist_method or _default_hist_method()
+    counts = model.histogram(jnp.asarray(blocks), jnp.asarray(n_valid),
+                             method=method)
+    lengths = model.lengths_from_counts(np.asarray(counts))
+    tables = model.tables_from_lengths(lengths)
+    return tables, np.asarray(lengths, dtype=np.uint8)
+
+
+def compress(data: bytes, mode: str = "markov",
+             block_size: int = DEFAULT_BLOCK_SIZE,
+             hist_method: str | None = None, crc: bool = True) -> bytes:
+    model = get_model(mode)
+    blocks, n_valid = blockify(data, block_size)
+    orig_len = len(data)
+    checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
+    if blocks.shape[0] == 0:
+        return container.build_container(
+            model.mode, 0, block_size,
+            np.zeros((256, 256) if model.markov else (256,), np.uint8),
+            np.zeros((0,), np.int64), [], checksum)
+    tables, lengths_host = build_tables(model, blocks, n_valid, hist_method)
+    words, bits = bitpack.encode_blocks(
+        jnp.asarray(blocks), jnp.asarray(n_valid),
+        tables["codes"], tables["lengths"])
+    words_h = np.asarray(words)
+    bits_h = np.asarray(bits).astype(np.int64)
+    streams = bitpack.words_to_block_bytes(words_h, bits_h)
+    return container.build_container(model.mode, orig_len, block_size,
+                                     lengths_host, bits_h, streams, checksum)
+
+
+def decompress(blob: bytes, verify: bool = True) -> bytes:
+    meta = container.parse_container(blob)
+    model = get_model(meta.mode)
+    if meta.orig_len == 0:
+        return b""
+    tables = model.tables_from_lengths(
+        jnp.asarray(meta.lengths, jnp.int32))
+    streams = container.split_payload(blob, meta)
+    W = bitpack.words_for_block(meta.block_size)
+    words = bitpack.block_bytes_to_words(streams, W)
+    B = meta.n_blocks
+    n_valid = np.full(B, meta.block_size, dtype=np.int32)
+    n_valid[-1] = meta.orig_len - (B - 1) * meta.block_size
+    out = bitpack.decode_blocks(
+        jnp.asarray(words), jnp.asarray(n_valid),
+        tables["lim"], tables["base"], tables["first_code"],
+        tables["sorted_syms"], n_out=meta.block_size, markov=model.markov)
+    out_h = np.asarray(out).reshape(-1)[: meta.orig_len]
+    data = out_h.tobytes()
+    if verify:
+        container.verify_crc(data, meta)
+    return data
+
+
+def compression_report(data: bytes, blob: bytes) -> dict:
+    """Structured size accounting (SURVEY.md §5 metrics/observability)."""
+    meta = container.parse_container(blob)
+    table_bytes = meta.payload_off - 24 - 4 * meta.n_blocks
+    payload = int(((meta.bit_lengths + 7) // 8).sum())
+    return {
+        "orig_bytes": len(data),
+        "compressed_bytes": len(blob),
+        "ratio": len(blob) / max(len(data), 1),
+        "payload_bytes": payload,
+        "table_bytes": table_bytes,
+        "index_bytes": 4 * meta.n_blocks,
+        "header_bytes": 24,
+        "n_blocks": meta.n_blocks,
+        "block_size": meta.block_size,
+        "mode": "markov" if meta.mode == container.MODE_MARKOV else "huffman",
+    }

@@ -1,0 +1,112 @@
+"""Command-line interface.
+
+Capability parity: reference L5 `main()` — encode/decode × order-0/markov
+over file paths (SURVEY.md §2 L5; mount empty, §0).
+
+    mhc encode --mode markov  --block-size 64K  IN OUT
+    mhc decode IN OUT
+    mhc stat   IN            (inspect a container)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_size(s: str) -> int:
+    s = s.strip().upper()
+    mult = 1
+    for suffix, m in (("K", 1024), ("M", 1024 ** 2), ("G", 1024 ** 3)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="mhc", description="TPU-native Markov-Huffman codec")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="compress a file")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.add_argument("--mode", default="markov",
+                    choices=["markov", "huffman", "order0"])
+    pe.add_argument("--block-size", default="64K", type=_parse_size)
+    pe.add_argument("--no-crc", action="store_true")
+    pe.add_argument("--report", action="store_true",
+                    help="print a JSON size/throughput report")
+
+    pd = sub.add_parser("decode", help="decompress a file")
+    pd.add_argument("input")
+    pd.add_argument("output")
+    pd.add_argument("--no-verify", action="store_true")
+    pd.add_argument("--report", action="store_true")
+
+    ps = sub.add_parser("stat", help="inspect a container header")
+    ps.add_argument("input")
+
+    args = p.parse_args(argv)
+
+    from . import api, container  # deferred: JAX init is slow
+
+    try:
+        return _run(args, api, container)
+    except (ValueError, OSError) as e:
+        print(f"mhc: error: {e}", file=sys.stderr)
+        return 1
+
+
+def _run(args, api, container) -> int:
+    if args.cmd == "encode":
+        data = open(args.input, "rb").read()
+        t0 = time.perf_counter()
+        blob = api.compress(data, mode=args.mode, block_size=args.block_size,
+                            crc=not args.no_crc)
+        dt = time.perf_counter() - t0
+        open(args.output, "wb").write(blob)
+        if args.report:
+            rep = api.compression_report(data, blob)
+            rep["encode_seconds"] = dt
+            rep["encode_MBps"] = len(data) / dt / 1e6 if dt else None
+            print(json.dumps(rep))
+        else:
+            print(f"{args.input}: {len(data)} -> {len(blob)} bytes "
+                  f"({len(blob) / max(len(data), 1):.4f}) in {dt:.3f}s")
+        return 0
+
+    if args.cmd == "decode":
+        blob = open(args.input, "rb").read()
+        t0 = time.perf_counter()
+        data = api.decompress(blob, verify=not args.no_verify)
+        dt = time.perf_counter() - t0
+        open(args.output, "wb").write(data)
+        if args.report:
+            print(json.dumps({"orig_bytes": len(data),
+                              "decode_seconds": dt,
+                              "decode_MBps": len(data) / dt / 1e6 if dt else None}))
+        else:
+            print(f"{args.input}: {len(blob)} -> {len(data)} bytes in {dt:.3f}s")
+        return 0
+
+    if args.cmd == "stat":
+        blob = open(args.input, "rb").read()
+        meta = container.parse_container(blob)
+        print(json.dumps({
+            "mode": "markov" if meta.mode == container.MODE_MARKOV else "huffman",
+            "orig_len": meta.orig_len,
+            "block_size": meta.block_size,
+            "n_blocks": meta.n_blocks,
+            "crc32": meta.crc32,
+            "payload_bytes": int(((meta.bit_lengths + 7) // 8).sum()),
+        }))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,163 @@
+"""Block-parallel bit packing and unpacking.
+
+Capability parity: the reference emits/reads one variable-length code at a
+time through a bit-serial writer/reader (SURVEY.md §2 L0, §3.1-3.2 hot
+loops; mount empty, §0). That serial chain is the single thing that cannot
+run fast on a TPU, so the TPU-native redesign restructures the stream:
+
+* Input is split into independent fixed-size blocks; the Markov context
+  resets at each block boundary (container records per-block bit lengths).
+* ENCODE is fully parallel: per-symbol code lengths -> exclusive prefix sum
+  gives every symbol's absolute bit offset; each code straddles at most two
+  32-bit words, so a pair of scatter-adds materialises the whole bitstream
+  at once (disjoint bit ranges make add == or).
+* DECODE is sequential per block but vectorized across thousands of blocks:
+  a `lax.scan` peeks a fixed MAX_CODE_LEN-bit window per block per step and
+  resolves (symbol, length) with branchless canonical arithmetic
+  (`canonical.py`), advancing each block's bit cursor independently.
+
+Bit order: MSB-first within each 32-bit word; words are big-endian when
+serialized so the byte stream equals the conceptual MSB-first bitstream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .huffman import MAX_CODE_LEN
+
+
+def words_for_block(block_size: int, max_len: int = MAX_CODE_LEN) -> int:
+    """u32 words needed to hold a worst-case encoded block, +1 slack word so
+    the straddle scatter and the decode peek never index out of bounds."""
+    return (block_size * max_len + 31) // 32 + 1
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def encode_blocks(data: jnp.ndarray, n_valid: jnp.ndarray,
+                  code_table: jnp.ndarray, len_table: jnp.ndarray,
+                  init_ctx: int = 0, max_len: int = MAX_CODE_LEN):
+    """Encode a batch of blocks into bit-packed u32 words.
+
+    data:       (B, n) uint8/int32 symbols (padded past n_valid with 0)
+    n_valid:    (B,) int32 valid symbol count per block
+    code_table: (256, 256) uint32 — [prev, cur] canonical code
+    len_table:  (256, 256) int32  — [prev, cur] code length (order-0 callers
+                pass context-independent rows)
+    Returns (words (B, W) uint32, bit_lengths (B,) uint32).
+    """
+    data = data.astype(jnp.int32)
+    B, n = data.shape
+    W = words_for_block(n, max_len)
+
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), init_ctx, jnp.int32), data[:, :-1]], axis=1)
+    lens = len_table[prev, data]
+    codes = code_table[prev, data]
+    pos = jnp.arange(n)[None, :]
+    valid = pos < n_valid[:, None]
+    lens = jnp.where(valid, lens, 0)
+    codes = jnp.where(valid, codes, 0)
+
+    offs = jnp.cumsum(lens, axis=1) - lens            # exclusive prefix sum
+    total_bits = (offs[:, -1] + lens[:, -1]).astype(jnp.uint32)
+
+    w0 = (offs >> 5).astype(jnp.int32)
+    s = (offs & 31).astype(jnp.int32)
+    left = 32 - s - lens                               # [-(max_len-1), 32]
+    sl = jnp.clip(left, 0, 31).astype(jnp.uint32)
+    sr = jnp.clip(-left, 0, 31).astype(jnp.uint32)
+    part0 = jnp.where(left >= 0, codes << sl, codes >> sr).astype(jnp.uint32)
+    s1 = jnp.clip(32 + left, 0, 31).astype(jnp.uint32)
+    part1 = jnp.where(left < 0, codes << s1, jnp.uint32(0)).astype(jnp.uint32)
+
+    b = jnp.arange(B)[:, None]
+    words = jnp.zeros((B, W), jnp.uint32)
+    words = words.at[b, w0].add(part0, mode="drop")
+    words = words.at[b, w0 + 1].add(part1, mode="drop")
+    return words, total_bits
+
+
+@partial(jax.jit, static_argnames=("n_out", "max_len", "markov"))
+def decode_blocks(words: jnp.ndarray, n_valid: jnp.ndarray,
+                  lim: jnp.ndarray, base: jnp.ndarray,
+                  first_code: jnp.ndarray, sorted_syms: jnp.ndarray,
+                  n_out: int, init_ctx: int = 0,
+                  max_len: int = MAX_CODE_LEN, markov: bool = True):
+    """Decode a batch of blocks. Sequential over symbols, parallel over B.
+
+    words:       (B, W) uint32 bit-packed streams (W >= needed + 1 slack)
+    n_valid:     (B,) int32 symbols to produce per block
+    lim:         (256, max_len+1) uint32 canonical window limits per context
+    base/first_code: (256, max_len+1) int32
+    sorted_syms: (256, 256) int32 symbols by (length, symbol) per context
+    n_out:       static max symbols per block
+    Returns (B, n_out) uint8 (entries past n_valid are 0).
+    """
+    B, W = words.shape
+    Lp1 = max_len + 1
+    lim_f = lim.reshape(-1)
+    base_f = base.reshape(-1)
+    first_f = first_code.reshape(-1)
+    sorted_f = sorted_syms.reshape(-1)
+    barange = jnp.arange(B)
+
+    def step(carry, t):
+        bitpos, prev = carry
+        w = (bitpos >> 5).astype(jnp.int32)
+        s = (bitpos & 31).astype(jnp.uint32)
+        hi = words[barange, w] << s
+        w1 = jnp.minimum(w + 1, W - 1)
+        lo_shift = (32 - s) & 31
+        lo = jnp.where(s == 0, jnp.uint32(0), words[barange, w1] >> lo_shift)
+        window = (hi | lo) >> jnp.uint32(32 - max_len)     # (B,) in [0, 2^L)
+
+        ctx = prev if markov else jnp.zeros_like(prev)
+        limr = lim_f.reshape(256, Lp1)[ctx]                 # (B, L+1)
+        ge = (window[:, None] >= limr[:, 1:max_len]).astype(jnp.int32)
+        length = 1 + ge.sum(axis=1)                         # (B,)
+        code = (window >> (max_len - length).astype(jnp.uint32)).astype(jnp.int32)
+        tix = ctx * Lp1 + length
+        idx = base_f[tix] + code - first_f[tix]
+        idx = jnp.clip(idx, 0, 255)
+        sym = sorted_f[ctx * 256 + idx]
+
+        valid = t < n_valid
+        bitpos = bitpos + jnp.where(valid, length, 0).astype(jnp.uint32)
+        prev = jnp.where(valid, sym, prev)
+        out = jnp.where(valid, sym, 0).astype(jnp.uint8)
+        return (bitpos, prev), out
+
+    carry0 = (jnp.zeros((B,), jnp.uint32),
+              jnp.full((B,), init_ctx, jnp.int32))
+    _, outs = jax.lax.scan(step, carry0, jnp.arange(n_out))
+    return outs.T  # (B, n_out)
+
+
+# ---------------------------------------------------------------------------
+# host-side (numpy) byte/word marshalling
+# ---------------------------------------------------------------------------
+
+def words_to_block_bytes(words: np.ndarray, bit_lengths: np.ndarray):
+    """Slice each block's big-endian byte stream to its used length.
+
+    words: (B, W) uint32 (host), bit_lengths: (B,) -> list of bytes objects.
+    """
+    raw = np.ascontiguousarray(words.astype('>u4')).view(np.uint8)
+    raw = raw.reshape(words.shape[0], -1)
+    nbytes = (np.asarray(bit_lengths).astype(np.int64) + 7) // 8
+    return [raw[i, : nbytes[i]].tobytes() for i in range(words.shape[0])]
+
+
+def block_bytes_to_words(blocks, W: int) -> np.ndarray:
+    """Inverse of words_to_block_bytes: pad byte blocks into (B, W) uint32."""
+    B = len(blocks)
+    out = np.zeros((B, W * 4), dtype=np.uint8)
+    for i, blk in enumerate(blocks):
+        a = np.frombuffer(blk, dtype=np.uint8)
+        out[i, : a.size] = a
+    return out.view('>u4').astype(np.uint32).reshape(B, W)
