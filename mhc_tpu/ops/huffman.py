@@ -45,6 +45,22 @@ def rescale_counts(counts: np.ndarray) -> np.ndarray:
     return scaled.astype(np.int32)
 
 
+def rescale_counts_jax(counts: jnp.ndarray) -> jnp.ndarray:
+    """JAX mirror of `rescale_counts` for on-chip table builds after psum.
+
+    counts: (..., 256) int32 (int32 totals are the wire format of the psum
+    histogram reduction; per-cell counts beyond 2**31 are unsupported and
+    must be pre-scaled by the caller). Bit-identical to the numpy version
+    for all in-range inputs — required for cross-host table determinism.
+    """
+    counts = counts.astype(jnp.int32)
+    total = jnp.sum(counts, axis=-1, keepdims=True)
+    # shift = #k >= 0 with (total >> k) >= 2^28; int32 totals need k <= 3
+    shift = sum(((total >> (28 + k)) > 0).astype(jnp.int32) for k in range(4))
+    scaled = counts >> shift
+    return jnp.where(counts > 0, jnp.maximum(scaled, 1), 0)
+
+
 # ---------------------------------------------------------------------------
 # numpy reference implementation (host oracle for tests + small inputs)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,198 @@
+"""Sharded two-pass codec pipeline (BASELINE.json:10-11).
+
+Mapping of the mandated capabilities onto JAX collectives:
+
+  two-pass global histogram   -> per-shard MXU histogram, `psum` over the
+                                 data axis (ICI within a slice, DCN across
+                                 hosts)
+  broadcast of shared tables  -> tables are built REPLICATED: every device
+                                 runs the deterministic table construction
+                                 on the identical psum'd counts, which is
+                                 the collective-free TPU idiom for
+                                 broadcast (no host roundtrip, bit-identical
+                                 by the determinism contract in huffman.py)
+  block-parallel encode/decode-> each shard packs/unpacks its own blocks
+  ordered gather              -> the shard_map output is a global Array
+                                 whose logical order IS the block order;
+                                 materializing it on host is the gather
+
+The reference is a single-threaded CLI with none of this (SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import bitpack, canonical, histogram, huffman
+from .mesh import DATA_AXIS, make_mesh, pad_to_multiple
+
+
+def _build_tables_shard(counts, markov: bool):
+    """Replicated table construction from (already psum'd) counts."""
+    scaled = huffman.rescale_counts_jax(counts)
+    lengths = huffman.code_lengths(scaled)
+    t = canonical.canonical_codes(lengths)
+    if not markov:
+        t = {k: jnp.broadcast_to(v, (256,) + v.shape) for k, v in t.items()}
+    return t, lengths
+
+
+@partial(jax.jit, static_argnames=("markov", "axis", "mesh", "hist_method"))
+def _encode_sharded(blocks, n_valid, *, markov: bool, mesh: Mesh,
+                    axis: str = DATA_AXIS, hist_method: str = "matmul"):
+    """Full fused encode step over the mesh. blocks (B, n) sharded on B."""
+
+    def shard_fn(blocks, n_valid):
+        if markov:
+            local = histogram.histogram_markov(blocks, n_valid,
+                                               method=hist_method)
+        else:
+            local = histogram.histogram_order0(blocks, n_valid,
+                                               method=hist_method)
+        counts = jax.lax.psum(local, axis)
+        t, lengths = _build_tables_shard(counts, markov)
+        words, bits = bitpack.encode_blocks(blocks, n_valid,
+                                            t["codes"], t["lengths"])
+        return words, bits, lengths
+
+    # check_vma=False: the VMA tracker cannot see that psum + deterministic
+    # table build leaves `lengths` replicated (scan carries trip it); the
+    # determinism contract in ops/huffman.py is what guarantees it.
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
+    )(blocks, n_valid)
+
+
+@partial(jax.jit, static_argnames=("markov", "n_out", "axis", "mesh"))
+def _decode_sharded(words, n_valid, lengths, *, markov: bool, n_out: int,
+                    mesh: Mesh, axis: str = DATA_AXIS):
+    """Sharded decode: words (B, W) sharded on B, lengths replicated."""
+
+    def shard_fn(words, n_valid, lengths):
+        t, _ = _build_tables_shard_from_lengths(lengths, markov)
+        return bitpack.decode_blocks(
+            words, n_valid, t["lim"], t["base"], t["first_code"],
+            t["sorted_syms"], n_out=n_out, markov=markov)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(words, n_valid, lengths)
+
+
+def _build_tables_shard_from_lengths(lengths, markov: bool):
+    t = canonical.canonical_codes(lengths.astype(jnp.int32))
+    if not markov:
+        t = {k: jnp.broadcast_to(v, (256,) + v.shape) for k, v in t.items()}
+    return t, lengths
+
+
+def shard_blocks(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
+                 axis: str = DATA_AXIS):
+    """Pad the block batch to the shard count and place it on the mesh."""
+    n_shards = mesh.shape[axis]
+    B = blocks.shape[0]
+    Bp = pad_to_multiple(max(B, 1), n_shards)
+    if Bp != B:
+        blocks = np.concatenate(
+            [blocks, np.zeros((Bp - B,) + blocks.shape[1:], blocks.dtype)])
+        n_valid = np.concatenate(
+            [n_valid, np.zeros((Bp - B,), n_valid.dtype)])
+    sharding = NamedSharding(mesh, P(axis))
+    return (jax.device_put(blocks, sharding),
+            jax.device_put(n_valid, NamedSharding(mesh, P(axis))), B)
+
+
+def encode_sharded(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
+                   markov: bool = True, hist_method: str = "matmul"):
+    """Two-pass sharded encode. Returns host (words, bits, lengths) trimmed
+    back to the original block count (the ordered gather)."""
+    blocks_d, nv_d, B = shard_blocks(blocks, n_valid, mesh)
+    words, bits, lengths = _encode_sharded(
+        blocks_d, nv_d, markov=markov, mesh=mesh, hist_method=hist_method)
+    return (np.asarray(words)[:B], np.asarray(bits)[:B],
+            np.asarray(lengths, dtype=np.uint8))
+
+
+def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
+                   lengths: np.ndarray, mesh: Mesh, n_out: int,
+                   markov: bool = True) -> np.ndarray:
+    """Sharded decode of a block batch; returns (B, n_out) uint8 on host."""
+    n_shards = mesh.shape[DATA_AXIS]
+    B = words.shape[0]
+    Bp = pad_to_multiple(max(B, 1), n_shards)
+    if Bp != B:
+        words = np.concatenate(
+            [words, np.zeros((Bp - B, words.shape[1]), words.dtype)])
+        n_valid = np.concatenate([n_valid, np.zeros((Bp - B,), n_valid.dtype)])
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    out = _decode_sharded(
+        jax.device_put(words, sharding),
+        jax.device_put(n_valid, sharding),
+        jax.device_put(jnp.asarray(lengths, jnp.int32),
+                       NamedSharding(mesh, P())),
+        markov=markov, n_out=n_out, mesh=mesh)
+    return np.asarray(out)[:B]
+
+
+# ---------------------------------------------------------------------------
+# container-level sharded API (mirrors api.compress/decompress)
+# ---------------------------------------------------------------------------
+
+def compress_sharded(data: bytes, mesh: Mesh | None = None,
+                     mode: str = "markov", block_size: int = 64 * 1024,
+                     crc: bool = True) -> bytes:
+    import zlib
+
+    from .. import container
+    from ..api import blockify
+    from ..models.entropy import get_model
+
+    model = get_model(mode)
+    mesh = mesh or make_mesh()
+    blocks, n_valid = blockify(data, block_size)
+    checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
+    if blocks.shape[0] == 0:
+        return container.build_container(
+            model.mode, 0, block_size,
+            np.zeros((256, 256) if model.markov else (256,), np.uint8),
+            np.zeros((0,), np.int64), [], checksum)
+    words, bits, lengths = encode_sharded(blocks, n_valid, mesh,
+                                          markov=model.markov)
+    bits = bits.astype(np.int64)
+    streams = bitpack.words_to_block_bytes(words, bits)
+    return container.build_container(model.mode, len(data), block_size,
+                                     lengths, bits, streams, checksum)
+
+
+def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
+                       verify: bool = True) -> bytes:
+    from .. import container
+    from ..models.entropy import get_model
+
+    meta = container.parse_container(blob)
+    model = get_model(meta.mode)
+    if meta.orig_len == 0:
+        return b""
+    mesh = mesh or make_mesh()
+    streams = container.split_payload(blob, meta)
+    W = bitpack.words_for_block(meta.block_size)
+    words = bitpack.block_bytes_to_words(streams, W)
+    n_valid = np.full(meta.n_blocks, meta.block_size, dtype=np.int32)
+    n_valid[-1] = meta.orig_len - (meta.n_blocks - 1) * meta.block_size
+    out = decode_sharded(words, n_valid, meta.lengths, mesh,
+                         n_out=meta.block_size, markov=model.markov)
+    data = out.reshape(-1)[: meta.orig_len].tobytes()
+    if verify:
+        container.verify_crc(data, meta)
+    return data
