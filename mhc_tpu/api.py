@@ -63,7 +63,8 @@ def build_tables(model, blocks: np.ndarray, n_valid: np.ndarray,
 
 def compress(data: bytes, mode: str = "markov",
              block_size: int = DEFAULT_BLOCK_SIZE,
-             hist_method: str | None = None, crc: bool = True) -> bytes:
+             hist_method: str | None = None, crc: bool = True,
+             pack_method: str = "merge") -> bytes:
     model = get_model(mode)
     blocks, n_valid = blockify(data, block_size)
     orig_len = len(data)
@@ -74,7 +75,9 @@ def compress(data: bytes, mode: str = "markov",
             np.zeros((256, 256) if model.markov else (256,), np.uint8),
             np.zeros((0,), np.int64), [], checksum)
     tables, lengths_host = build_tables(model, blocks, n_valid, hist_method)
-    words, bits = bitpack.encode_blocks(
+    encode = (bitpack.encode_blocks_merge if pack_method == "merge"
+              else bitpack.encode_blocks)
+    words, bits = encode(
         jnp.asarray(blocks), jnp.asarray(n_valid),
         tables["codes"], tables["lengths"])
     words_h = np.asarray(words)

@@ -138,6 +138,80 @@ def decode_blocks(words: jnp.ndarray, n_valid: jnp.ndarray,
     return outs.T  # (B, n_out)
 
 
+@partial(jax.jit, static_argnames=("max_len",))
+def encode_blocks_merge(data: jnp.ndarray, n_valid: jnp.ndarray,
+                        code_table: jnp.ndarray, len_table: jnp.ndarray,
+                        init_ctx: int = 0, max_len: int = MAX_CODE_LEN):
+    """Scatter-free encoder: hierarchical doubling merge.
+
+    XLA TPU scatter serializes on colliding indices, so the per-symbol
+    scatter-add pack (encode_blocks) is slow on real chips. This variant
+    concatenates bitstrings by doubling instead: level k holds one MSB-first
+    word buffer per 2^k consecutive symbols; merging two nodes is a per-node
+    word-offset gather (tiny axis) + two shifts + OR — all dense vector ops.
+    log2(n) levels, ~8 dense ops each, zero scatters. Bit-identical output
+    to encode_blocks (tested).
+    """
+    data = data.astype(jnp.int32)
+    B, n = data.shape
+    W_final = words_for_block(n, max_len)
+
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), init_ctx, jnp.int32), data[:, :-1]], axis=1)
+    lens = len_table[prev, data]
+    codes = code_table[prev, data].astype(jnp.uint32)
+    valid = jnp.arange(n)[None, :] < n_valid[:, None]
+    lens = jnp.where(valid, lens, 0)
+    codes = jnp.where(valid, codes, 0)
+
+    # pad symbol count to a power of two with zero-length nodes
+    n_pow = 1 << (n - 1).bit_length()
+    if n_pow != n:
+        pad = n_pow - n
+        lens = jnp.pad(lens, ((0, 0), (0, pad)))
+        codes = jnp.pad(codes, ((0, 0), (0, pad)))
+
+    # level 0: one MSB-aligned word per symbol
+    shift0 = jnp.clip(32 - lens, 0, 31).astype(jnp.uint32)
+    buf = (codes << shift0)[..., None]                     # (B, n_pow, 1)
+    L = lens
+
+    node_syms = 1
+    W_in = 1
+    while node_syms < n_pow:
+        node_syms *= 2
+        W_out = min((max_len * node_syms + 31) // 32, W_final)
+        pairs_b = buf.reshape(B, -1, 2, W_in)
+        left = pairs_b[:, :, 0]
+        right = pairs_b[:, :, 1]
+        pairs_l = L.reshape(B, -1, 2)
+        llen = pairs_l[:, :, 0]
+        rlen = pairs_l[:, :, 1]
+
+        o = (llen >> 5)[..., None]                          # word offset
+        s = (llen & 31)[..., None].astype(jnp.uint32)       # bit offset
+        if W_out > W_in:
+            right = jnp.pad(right, ((0, 0), (0, 0), (0, W_out - W_in)))
+            left = jnp.pad(left, ((0, 0), (0, 0), (0, W_out - W_in)))
+        w_idx = jnp.arange(W_out)[None, None, :]
+        idx1 = w_idx - o
+        idx2 = idx1 - 1
+        g1 = jnp.take_along_axis(right, jnp.clip(idx1, 0, W_out - 1), axis=2)
+        g2 = jnp.take_along_axis(right, jnp.clip(idx2, 0, W_out - 1), axis=2)
+        part = jnp.where(idx1 >= 0, g1 >> s, jnp.uint32(0))
+        part = part | jnp.where((idx2 >= 0) & (s > 0),
+                                g2 << ((32 - s) & jnp.uint32(31)),
+                                jnp.uint32(0))
+        buf = left | part
+        L = llen + rlen
+        W_in = W_out
+
+    words = buf[:, 0, :]
+    if W_final > W_in:
+        words = jnp.pad(words, ((0, 0), (0, W_final - W_in)))
+    return words, L[:, 0].astype(jnp.uint32)
+
+
 # ---------------------------------------------------------------------------
 # host-side (numpy) byte/word marshalling
 # ---------------------------------------------------------------------------

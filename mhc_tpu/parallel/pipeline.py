@@ -56,8 +56,8 @@ def _encode_sharded(blocks, n_valid, *, markov: bool, mesh: Mesh,
                                                method=hist_method)
         counts = jax.lax.psum(local, axis)
         t, lengths = _build_tables_shard(counts, markov)
-        words, bits = bitpack.encode_blocks(blocks, n_valid,
-                                            t["codes"], t["lengths"])
+        words, bits = bitpack.encode_blocks_merge(blocks, n_valid,
+                                                  t["codes"], t["lengths"])
         return words, bits, lengths
 
     # check_vma=False: the VMA tracker cannot see that psum + deterministic
