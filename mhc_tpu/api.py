@@ -26,6 +26,10 @@ from .models.entropy import get_model
 from .ops import bitpack
 
 DEFAULT_BLOCK_SIZE = 64 * 1024
+# Sequential decode length per lane. Smaller units = more decode lanes and
+# fewer sequential steps at ~2 bytes/unit index overhead; 2 KB keeps the
+# overhead ~0.1% while cutting the per-lane scan 32x vs 64 KB blocks.
+DEFAULT_DECODE_UNIT = 2048
 
 
 def _default_hist_method() -> str:
@@ -61,30 +65,50 @@ def build_tables(model, blocks: np.ndarray, n_valid: np.ndarray,
     return tables, np.asarray(lengths, dtype=np.uint8)
 
 
+def resolve_decode_unit(block_size: int, decode_unit: int | None) -> int:
+    """Clamp the decode unit to the block size; units must divide blocks."""
+    du = decode_unit or DEFAULT_DECODE_UNIT
+    du = min(du, block_size)
+    if block_size % du != 0 or du & (du - 1):
+        raise ValueError(
+            f"decode_unit {du} must be a power of two dividing "
+            f"block_size {block_size}")
+    # u16 unit index requires worst-case unit stream < 64 KB
+    from .ops.huffman import MAX_CODE_LEN
+    if du != block_size and du * MAX_CODE_LEN // 8 >= (1 << 16):
+        raise ValueError(f"decode_unit {du} too large for u16 unit index")
+    return du
+
+
 def compress(data: bytes, mode: str = "markov",
              block_size: int = DEFAULT_BLOCK_SIZE,
              hist_method: str | None = None, crc: bool = True,
-             pack_method: str = "merge") -> bytes:
+             pack_method: str = "merge",
+             decode_unit: int | None = None) -> bytes:
     model = get_model(mode)
-    blocks, n_valid = blockify(data, block_size)
+    if block_size & (block_size - 1):
+        raise ValueError("block_size must be a power of two")
+    du = resolve_decode_unit(block_size, decode_unit)
+    units, n_valid = blockify(data, du)
     orig_len = len(data)
     checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
-    if blocks.shape[0] == 0:
+    if units.shape[0] == 0:
         return container.build_container(
             model.mode, 0, block_size,
             np.zeros((256, 256) if model.markov else (256,), np.uint8),
-            np.zeros((0,), np.int64), [], checksum)
-    tables, lengths_host = build_tables(model, blocks, n_valid, hist_method)
+            np.zeros((0,), np.int64), b"", checksum, decode_unit=du)
+    tables, lengths_host = build_tables(model, units, n_valid, hist_method)
     encode = (bitpack.encode_blocks_merge if pack_method == "merge"
               else bitpack.encode_blocks)
     words, bits = encode(
-        jnp.asarray(blocks), jnp.asarray(n_valid),
+        jnp.asarray(units), jnp.asarray(n_valid),
         tables["codes"], tables["lengths"])
     words_h = np.asarray(words)
     bits_h = np.asarray(bits).astype(np.int64)
-    streams = bitpack.words_to_block_bytes(words_h, bits_h)
+    payload = bitpack.words_to_payload(words_h, bits_h)
     return container.build_container(model.mode, orig_len, block_size,
-                                     lengths_host, bits_h, streams, checksum)
+                                     lengths_host, bits_h, payload, checksum,
+                                     decode_unit=du)
 
 
 def decompress(blob: bytes, verify: bool = True) -> bytes:
@@ -94,16 +118,16 @@ def decompress(blob: bytes, verify: bool = True) -> bytes:
         return b""
     tables = model.tables_from_lengths(
         jnp.asarray(meta.lengths, jnp.int32))
-    streams = container.split_payload(blob, meta)
-    W = bitpack.words_for_block(meta.block_size)
-    words = bitpack.block_bytes_to_words(streams, W)
-    B = meta.n_blocks
-    n_valid = np.full(B, meta.block_size, dtype=np.int32)
-    n_valid[-1] = meta.orig_len - (B - 1) * meta.block_size
+    du = meta.decode_unit or meta.block_size
+    W = bitpack.words_for_block(du)
+    words = container.payload_to_words(blob, meta, W)
+    R = words.shape[0]
+    n_valid = np.full(R, du, dtype=np.int32)
+    n_valid[-1] = meta.orig_len - (R - 1) * du
     out = bitpack.decode_blocks(
         jnp.asarray(words), jnp.asarray(n_valid),
         tables["lim"], tables["base"], tables["first_code"],
-        tables["sorted_syms"], n_out=meta.block_size, markov=model.markov)
+        tables["sorted_syms"], n_out=du, markov=model.markov)
     out_h = np.asarray(out).reshape(-1)[: meta.orig_len]
     data = out_h.tobytes()
     if verify:
@@ -114,17 +138,23 @@ def decompress(blob: bytes, verify: bool = True) -> bytes:
 def compression_report(data: bytes, blob: bytes) -> dict:
     """Structured size accounting (SURVEY.md §5 metrics/observability)."""
     meta = container.parse_container(blob)
-    table_bytes = meta.payload_off - 24 - 4 * meta.n_blocks
-    payload = int(((meta.bit_lengths + 7) // 8).sum())
+    if meta.decode_unit:
+        index_bytes = 2 * len(meta.byte_lengths)
+    else:
+        index_bytes = 4 * meta.n_blocks
+    table_bytes = meta.payload_off - 24 - index_bytes
+    payload = int(meta.byte_lengths.sum())
     return {
         "orig_bytes": len(data),
         "compressed_bytes": len(blob),
         "ratio": len(blob) / max(len(data), 1),
         "payload_bytes": payload,
         "table_bytes": table_bytes,
-        "index_bytes": 4 * meta.n_blocks,
+        "index_bytes": index_bytes,
         "header_bytes": 24,
         "n_blocks": meta.n_blocks,
+        "n_units": len(meta.byte_lengths),
         "block_size": meta.block_size,
+        "decode_unit": meta.decode_unit or meta.block_size,
         "mode": "markov" if meta.mode == container.MODE_MARKOV else "huffman",
     }

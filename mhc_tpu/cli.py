@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     pe.add_argument("--mode", default="markov",
                     choices=["markov", "huffman", "order0"])
     pe.add_argument("--block-size", default="64K", type=_parse_size)
+    pe.add_argument("--decode-unit", default=None, type=_parse_size,
+                    help="independent decode granularity (default 2K; "
+                    "power of two dividing block-size)")
     pe.add_argument("--no-crc", action="store_true")
     pe.add_argument("--report", action="store_true",
                     help="print a JSON size/throughput report")
@@ -66,7 +69,8 @@ def _run(args, api, container) -> int:
         data = open(args.input, "rb").read()
         t0 = time.perf_counter()
         blob = api.compress(data, mode=args.mode, block_size=args.block_size,
-                            crc=not args.no_crc)
+                            crc=not args.no_crc,
+                            decode_unit=args.decode_unit)
         dt = time.perf_counter() - t0
         open(args.output, "wb").write(blob)
         if args.report:

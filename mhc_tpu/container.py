@@ -11,8 +11,8 @@ Layout (little-endian):
   0   4  magic  b"MHTC"
   4   1  version (1)
   5   1  mode    (0 = order-0 Huffman, 1 = Markov-Huffman)
-  6   1  flags   bit0: crc32 trailer present
-  7   1  reserved (0)
+  6   1  flags   bit0: crc32 trailer present; bit1: sub-stream payload
+  7   1  log2(decode_unit) when flags bit1, else 0
   8   8  orig_len  u64
   16  4  block_size u32
   20  4  n_blocks  u32
@@ -20,12 +20,20 @@ Layout (little-endian):
   order-0: 128 bytes, nibble-packed code lengths (sym 2i low nibble)
   markov : 32-byte context-presence bitmap, then 128 bytes of nibble-packed
            lengths per present context, ascending context order
-  --- block index ---
-  n_blocks * u32 bit length of each block's stream
+  --- index ---
+  legacy payload: n_blocks * u32 bit length of each block's stream
+  sub-stream payload: n_units * u16 byte length of each unit's stream,
+    where units are decode_unit-sized slices of the input
+    (n_units = ceil(orig_len / decode_unit)); each unit is byte-aligned
+    and independently decodable (Markov context resets per unit)
   --- payload ---
-  concatenated byte-aligned block streams
+  concatenated byte-aligned streams (block order == unit order)
   --- trailer ---
   crc32 u32 of the original bytes (if flags bit0)
+
+The sub-stream layout is what makes TPU decode fast: sequential decode
+length drops from block_size to decode_unit symbols while the number of
+parallel lanes multiplies by block_size/decode_unit.
 
 Code lengths alone reconstruct the exact canonical tables on any host
 (canonical.py), so tables cost 4 bits/symbol/context with absent contexts
@@ -45,6 +53,7 @@ VERSION = 1
 MODE_ORDER0 = 0
 MODE_MARKOV = 1
 FLAG_CRC32 = 1
+FLAG_SUBSTREAMS = 2
 
 _HEADER = struct.Struct("<4sBBBBQII")
 
@@ -56,8 +65,10 @@ class ContainerMeta:
     block_size: int
     n_blocks: int
     flags: int
+    decode_unit: int | None   # set when FLAG_SUBSTREAMS
     lengths: np.ndarray       # (256,) order-0 or (256, 256) markov, uint8
-    bit_lengths: np.ndarray   # (n_blocks,) int64
+    bit_lengths: np.ndarray   # legacy: (n_blocks,) bit lengths, int64
+    byte_lengths: np.ndarray  # substream: (n_units,) byte lengths, int64
     payload_off: int
     crc32: int | None
 
@@ -105,14 +116,27 @@ def parse_tables(mode: int, raw: bytes, off: int):
 
 def build_container(mode: int, orig_len: int, block_size: int,
                     lengths: np.ndarray, bit_lengths: np.ndarray,
-                    block_streams: list[bytes], crc: int | None) -> bytes:
-    n_blocks = len(block_streams)
+                    payload: bytes, crc: int | None,
+                    decode_unit: int | None = None) -> bytes:
+    """bit_lengths: per-unit BIT lengths (units are decode_unit slices when
+    decode_unit is set, else whole blocks). payload: already-concatenated
+    byte-aligned unit streams."""
     flags = FLAG_CRC32 if crc is not None else 0
-    head = _HEADER.pack(MAGIC, VERSION, mode, flags, 0,
+    if decode_unit is not None and decode_unit != block_size:
+        flags |= FLAG_SUBSTREAMS
+        du_log2 = decode_unit.bit_length() - 1
+        assert (1 << du_log2) == decode_unit, "decode_unit must be pow2"
+        n_blocks = (orig_len + block_size - 1) // block_size
+        index = (((np.asarray(bit_lengths, np.int64) + 7) // 8)
+                 .astype("<u2").tobytes())
+    else:
+        du_log2 = 0
+        n_blocks = len(bit_lengths)
+        index = np.asarray(bit_lengths, dtype="<u4").tobytes()
+    head = _HEADER.pack(MAGIC, VERSION, mode, flags, du_log2,
                         orig_len, block_size, n_blocks)
     tables = serialize_tables(mode, lengths)
-    index = np.asarray(bit_lengths, dtype="<u4").tobytes()
-    parts = [head, tables, index, *block_streams]
+    parts = [head, tables, index, payload]
     if crc is not None:
         parts.append(struct.pack("<I", crc & 0xFFFFFFFF))
     return b"".join(parts)
@@ -121,7 +145,7 @@ def build_container(mode: int, orig_len: int, block_size: int,
 def parse_container(blob: bytes) -> ContainerMeta:
     if len(blob) < _HEADER.size:
         raise ValueError("mhc: truncated container (no header)")
-    magic, version, mode, flags, _, orig_len, block_size, n_blocks = \
+    magic, version, mode, flags, du_log2, orig_len, block_size, n_blocks = \
         _HEADER.unpack_from(blob, 0)
     if magic != MAGIC:
         raise ValueError("mhc: bad magic — not an MHTC container")
@@ -131,12 +155,25 @@ def parse_container(blob: bytes) -> ContainerMeta:
         raise ValueError(f"mhc: unknown mode {mode}")
     off = _HEADER.size
     lengths, off = parse_tables(mode, blob, off)
-    idx_bytes = 4 * n_blocks
-    if len(blob) < off + idx_bytes:
-        raise ValueError("mhc: truncated container (block index)")
-    bit_lengths = np.frombuffer(blob[off:off + idx_bytes], dtype="<u4").astype(np.int64)
+    if flags & FLAG_SUBSTREAMS:
+        decode_unit = 1 << du_log2
+        n_units = (orig_len + decode_unit - 1) // decode_unit
+        idx_bytes = 2 * n_units
+        if len(blob) < off + idx_bytes:
+            raise ValueError("mhc: truncated container (unit index)")
+        byte_lengths = np.frombuffer(
+            blob[off:off + idx_bytes], dtype="<u2").astype(np.int64)
+        bit_lengths = np.zeros((0,), np.int64)
+    else:
+        decode_unit = None
+        idx_bytes = 4 * n_blocks
+        if len(blob) < off + idx_bytes:
+            raise ValueError("mhc: truncated container (block index)")
+        bit_lengths = np.frombuffer(
+            blob[off:off + idx_bytes], dtype="<u4").astype(np.int64)
+        byte_lengths = (bit_lengths + 7) // 8
     off += idx_bytes
-    payload_len = int(((bit_lengths + 7) // 8).sum())
+    payload_len = int(byte_lengths.sum())
     crc = None
     tail = off + payload_len
     if flags & FLAG_CRC32:
@@ -146,14 +183,28 @@ def parse_container(blob: bytes) -> ContainerMeta:
     if len(blob) < tail:
         raise ValueError("mhc: truncated container (payload)")
     return ContainerMeta(mode=mode, orig_len=orig_len, block_size=block_size,
-                         n_blocks=n_blocks, flags=flags, lengths=lengths,
-                         bit_lengths=bit_lengths, payload_off=off, crc32=crc)
+                         n_blocks=n_blocks, flags=flags,
+                         decode_unit=decode_unit, lengths=lengths,
+                         bit_lengths=bit_lengths, byte_lengths=byte_lengths,
+                         payload_off=off, crc32=crc)
 
 
 def split_payload(blob: bytes, meta: ContainerMeta) -> list[bytes]:
-    byte_lens = (meta.bit_lengths + 7) // 8
+    byte_lens = meta.byte_lengths
     offs = np.concatenate([[0], np.cumsum(byte_lens)]) + meta.payload_off
-    return [blob[offs[i]:offs[i + 1]] for i in range(meta.n_blocks)]
+    return [blob[offs[i]:offs[i + 1]] for i in range(len(byte_lens))]
+
+
+def payload_to_words(blob: bytes, meta: ContainerMeta, W: int) -> np.ndarray:
+    """Vectorized unit-stream unpacking: payload -> (n_units, W) uint32."""
+    n_units = len(meta.byte_lengths)
+    total = int(meta.byte_lengths.sum())
+    flat = np.frombuffer(
+        blob, np.uint8, count=total, offset=meta.payload_off)
+    buf = np.zeros((n_units, W * 4), dtype=np.uint8)
+    mask = (np.arange(W * 4)[None, :] < meta.byte_lengths[:, None])
+    buf[mask] = flat
+    return buf.view(">u4").astype(np.uint32).reshape(n_units, W)
 
 
 def verify_crc(data: bytes, meta: ContainerMeta) -> None:

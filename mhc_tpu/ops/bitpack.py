@@ -227,6 +227,19 @@ def words_to_block_bytes(words: np.ndarray, bit_lengths: np.ndarray):
     return [raw[i, : nbytes[i]].tobytes() for i in range(words.shape[0])]
 
 
+def words_to_payload(words: np.ndarray, bit_lengths: np.ndarray) -> bytes:
+    """Vectorized compaction: concatenate every unit's byte-aligned stream.
+
+    words: (R, W) uint32 host array; bit_lengths: (R,). One boolean-mask
+    gather instead of a Python loop over (possibly 100k) units.
+    """
+    raw = np.ascontiguousarray(words.astype('>u4')).view(np.uint8)
+    raw = raw.reshape(words.shape[0], -1)
+    nbytes = (np.asarray(bit_lengths).astype(np.int64) + 7) // 8
+    mask = np.arange(raw.shape[1])[None, :] < nbytes[:, None]
+    return raw[mask].tobytes()
+
+
 def block_bytes_to_words(blocks, W: int) -> np.ndarray:
     """Inverse of words_to_block_bytes: pad byte blocks into (B, W) uint32."""
     B = len(blocks)

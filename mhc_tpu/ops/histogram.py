@@ -36,7 +36,15 @@ def markov_pairs(data: jnp.ndarray, n_valid: jnp.ndarray, init_ctx: int = 0):
 @partial(jax.jit, static_argnames=("method",))
 def histogram_markov(data: jnp.ndarray, n_valid: jnp.ndarray,
                      init_ctx: int = 0, method: str = "matmul") -> jnp.ndarray:
-    """256x256 [prev, cur] counts over a (B, n) block batch. int32."""
+    """256x256 [prev, cur] counts over a (B, n) block batch. int32.
+
+    method: 'pallas' (VMEM-resident one-hot MXU kernel, TPU),
+            'matmul' (chunked XLA one-hot matmul, any backend),
+            'scatter' (XLA scatter-add; fast on CPU only).
+    All three produce identical counts (tested)."""
+    if method == "pallas":
+        from .kernels import histogram_pallas
+        return histogram_pallas.markov_hist_pallas(data, n_valid, init_ctx)
     prev, cur, valid = markov_pairs(data, n_valid, init_ctx)
     if method == "scatter":
         upd = valid.astype(jnp.int32)
@@ -74,6 +82,9 @@ def _matmul_hist(prev, cur, valid):
 def histogram_order0(data: jnp.ndarray, n_valid: jnp.ndarray,
                      method: str = "matmul") -> jnp.ndarray:
     """(256,) byte counts over a (B, n) block batch. int32."""
+    if method == "pallas":
+        from .kernels import histogram_pallas
+        return histogram_pallas.order0_hist_pallas(data, n_valid)
     flat = data.astype(jnp.int32).reshape(-1)
     B, n = data.shape
     valid = (jnp.arange(n)[None, :] < n_valid[:, None]).reshape(-1)

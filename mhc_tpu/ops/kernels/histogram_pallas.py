@@ -1,0 +1,98 @@
+"""Pallas TPU histogram kernel.
+
+The XLA matmul histogram (ops/histogram.py) materializes the one-hot
+operands to HBM — ~1000 bytes of traffic per input byte. This kernel
+builds the one-hot matrices in VMEM (never touching HBM), runs the
+256x256-contraction on the MXU, and accumulates int32-exact partials:
+each grid step's f32 partial is bounded by the chunk size (< 2^24) so the
+int32 running sum is exact for any input length.
+
+Layout: the caller supplies flattened (prev, cur) streams padded with the
+sentinel 256 — a one-hot row of a sentinel is all-zero, so padded and
+masked positions contribute nothing (no mask operand needed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 2048  # rows per grid step; f32 partial <= 2048 << 2^24, 2x1MB VMEM
+
+
+def _hist_kernel(prev_ref, cur_ref, out_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p = prev_ref[0, :]
+    c = cur_ref[0, :]
+    sym = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 256), 1)
+    a = (p[:, None] == sym).astype(jnp.bfloat16)
+    b = (c[:, None] == sym).astype(jnp.bfloat16)
+    partial_counts = jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[:] += partial_counts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """256x256 [prev, cur] counts. prev/cur: (N,) int32 with sentinel 256
+    marking padded/masked positions. Returns (256, 256) int32."""
+    N = prev.shape[0]
+    pad = (-N) % CHUNK
+    if pad:
+        prev = jnp.concatenate([prev, jnp.full((pad,), 256, jnp.int32)])
+        cur = jnp.concatenate([cur, jnp.full((pad,), 256, jnp.int32)])
+    n_chunks = prev.shape[0] // CHUNK
+    prev2 = prev.reshape(n_chunks, CHUNK)
+    cur2 = cur.reshape(n_chunks, CHUNK)
+
+    return pl.pallas_call(
+        _hist_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(prev2.size) * 256 * 256,
+            bytes_accessed=int(prev2.size) * 8 + 256 * 256 * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(prev2, cur2)
+
+
+def markov_hist_pallas(data: jnp.ndarray, n_valid: jnp.ndarray,
+                       init_ctx: int = 0,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(B, n) block batch -> (256, 256) [prev, cur] counts, context reset
+    per block, positions past n_valid masked via the sentinel."""
+    data = data.astype(jnp.int32)
+    B, n = data.shape
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), init_ctx, jnp.int32), data[:, :-1]], axis=1)
+    valid = jnp.arange(n)[None, :] < n_valid[:, None]
+    cur = jnp.where(valid, data, 256)
+    return histogram_pairs_pallas(prev.reshape(-1), cur.reshape(-1),
+                                  interpret=interpret)
+
+
+def order0_hist_pallas(data: jnp.ndarray, n_valid: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(256,) byte counts: column sums of the pair histogram (each position
+    is counted exactly once as `cur`)."""
+    return markov_hist_pallas(data, n_valid, interpret=interpret).sum(axis=0)

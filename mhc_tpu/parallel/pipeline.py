@@ -151,28 +151,30 @@ def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
 
 def compress_sharded(data: bytes, mesh: Mesh | None = None,
                      mode: str = "markov", block_size: int = 64 * 1024,
-                     crc: bool = True) -> bytes:
+                     crc: bool = True, decode_unit: int | None = None) -> bytes:
     import zlib
 
     from .. import container
-    from ..api import blockify
+    from ..api import blockify, resolve_decode_unit
     from ..models.entropy import get_model
 
     model = get_model(mode)
     mesh = mesh or make_mesh()
-    blocks, n_valid = blockify(data, block_size)
+    du = resolve_decode_unit(block_size, decode_unit)
+    units, n_valid = blockify(data, du)
     checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
-    if blocks.shape[0] == 0:
+    if units.shape[0] == 0:
         return container.build_container(
             model.mode, 0, block_size,
             np.zeros((256, 256) if model.markov else (256,), np.uint8),
-            np.zeros((0,), np.int64), [], checksum)
-    words, bits, lengths = encode_sharded(blocks, n_valid, mesh,
+            np.zeros((0,), np.int64), b"", checksum, decode_unit=du)
+    words, bits, lengths = encode_sharded(units, n_valid, mesh,
                                           markov=model.markov)
     bits = bits.astype(np.int64)
-    streams = bitpack.words_to_block_bytes(words, bits)
+    payload = bitpack.words_to_payload(words, bits)
     return container.build_container(model.mode, len(data), block_size,
-                                     lengths, bits, streams, checksum)
+                                     lengths, bits, payload, checksum,
+                                     decode_unit=du)
 
 
 def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
@@ -185,13 +187,14 @@ def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
     if meta.orig_len == 0:
         return b""
     mesh = mesh or make_mesh()
-    streams = container.split_payload(blob, meta)
-    W = bitpack.words_for_block(meta.block_size)
-    words = bitpack.block_bytes_to_words(streams, W)
-    n_valid = np.full(meta.n_blocks, meta.block_size, dtype=np.int32)
-    n_valid[-1] = meta.orig_len - (meta.n_blocks - 1) * meta.block_size
+    du = meta.decode_unit or meta.block_size
+    W = bitpack.words_for_block(du)
+    words = container.payload_to_words(blob, meta, W)
+    R = words.shape[0]
+    n_valid = np.full(R, du, dtype=np.int32)
+    n_valid[-1] = meta.orig_len - (R - 1) * du
     out = decode_sharded(words, n_valid, meta.lengths, mesh,
-                         n_out=meta.block_size, markov=model.markov)
+                         n_out=du, markov=model.markov)
     data = out.reshape(-1)[: meta.orig_len].tobytes()
     if verify:
         container.verify_crc(data, meta)
