@@ -111,7 +111,11 @@ def compress(data: bytes, mode: str = "markov",
                                      decode_unit=du)
 
 
-def decompress(blob: bytes, verify: bool = True) -> bytes:
+def decompress(blob: bytes, verify: bool = True,
+               decode_method: str = "scan") -> bytes:
+    """decode_method: 'scan' (XLA scan, any backend) or 'pallas'
+    (Mosaic kernel; TPU only — symbol loop runs on-chip with no
+    per-step dispatch overhead)."""
     meta = container.parse_container(blob)
     model = get_model(meta.mode)
     if meta.orig_len == 0:
@@ -122,12 +126,19 @@ def decompress(blob: bytes, verify: bool = True) -> bytes:
     W = bitpack.words_for_block(du)
     words = container.payload_to_words(blob, meta, W)
     R = words.shape[0]
-    n_valid = np.full(R, du, dtype=np.int32)
-    n_valid[-1] = meta.orig_len - (R - 1) * du
-    out = bitpack.decode_blocks(
-        jnp.asarray(words), jnp.asarray(n_valid),
-        tables["lim"], tables["base"], tables["first_code"],
-        tables["sorted_syms"], n_out=du, markov=model.markov)
+    if decode_method == "pallas":
+        from .ops.kernels import decode_pallas
+        out = decode_pallas.decode_blocks_pallas(
+            jnp.asarray(words), tables["lim"], tables["base"],
+            tables["first_code"], tables["sorted_syms"],
+            n_out=du, markov=model.markov)
+    else:
+        n_valid = np.full(R, du, dtype=np.int32)
+        n_valid[-1] = meta.orig_len - (R - 1) * du
+        out = bitpack.decode_blocks(
+            jnp.asarray(words), jnp.asarray(n_valid),
+            tables["lim"], tables["base"], tables["first_code"],
+            tables["sorted_syms"], n_out=du, markov=model.markov)
     out_h = np.asarray(out).reshape(-1)[: meta.orig_len]
     data = out_h.tobytes()
     if verify:

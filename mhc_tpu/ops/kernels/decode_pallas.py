@@ -1,0 +1,302 @@
+"""Pallas TPU block-parallel Huffman decode kernel.
+
+Why this shape: Huffman decode is bit-serial per stream, so all TPU
+parallelism must come from decoding many independent unit streams in
+vector lanes. The XLA scan decoder pays ~1us of dispatch per op per
+symbol step; this kernel runs the whole symbol loop inside one Mosaic
+program, so the per-step cost is actual VPU work only.
+
+Hardware constraints that shaped the design (probed on v5e, see
+SURVEY.md env notes):
+  * `tpu.dynamic_gather` only shuffles within 8 sublanes -> per-lane
+    table lookups use a 32-chunk pass: chunk c broadcasts rows 8c..8c+7
+    of the fetch table, a sublane gather picks ctx&7, a mask selects
+    lanes with ctx>>3 == c.
+  * No per-lane gather from deep buffers -> stream word refills use an
+    iota-compare + minor-axis reduce over the unit's VMEM-resident
+    stream (words laid out (8, 128, W) so the reduce is lane-minor).
+  * Per-lane variable shifts ARE vectorized -> the 96-bit bit-buffer
+    (b0,b1,b2) consumes codes branchlessly; one masked 32-bit refill
+    every 2 symbols keeps every lane >= 15 valid bits (worst case 15
+    bits/symbol vs 16 refilled bits/symbol, 96-bit headroom).
+
+Fetch table layout (per context, 79 int32 columns):
+  cols 0..14   packed pairs: low u16 = lim[l] for l = 1..14 (col 14: 0),
+               high i16 = base[l]-first_code[l] for l = 1..15
+  cols 15..78  sorted_syms packed 4 bytes/word (MSB-first)
+
+Order-0 streams use context 0 everywhere; the chunk pass collapses to
+loop-invariant broadcasts that Mosaic hoists out of the symbol loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..huffman import MAX_CODE_LEN
+from ..bitpack import words_for_block
+
+LANES = 1024          # units decoded per grid tile (8 sublanes x 128 lanes)
+OUT_CHUNK = 512       # symbols per output DMA chunk (multiple of 4)
+
+
+def build_fetch_table(lim, base, first_code, sorted_syms) -> jnp.ndarray:
+    """Pack canonical decode tables into the (256, 96) kernel layout."""
+    lim = jnp.asarray(lim, jnp.int32)
+    base = jnp.asarray(base, jnp.int32)
+    first = jnp.asarray(first_code, jnp.int32)
+    syms = jnp.asarray(sorted_syms, jnp.int32).reshape(256, 64, 4)
+    symw = ((syms[..., 0] << 24) | (syms[..., 1] << 16)
+            | (syms[..., 2] << 8) | syms[..., 3])
+    ft = jnp.zeros((256, 79), jnp.int32)
+    bf = base[:, 1:16] - first[:, 1:16]                  # l = 1..15
+    lim_part = jnp.concatenate(
+        [lim[:, 1:15], jnp.zeros((256, 1), jnp.int32)], axis=1)
+    ft = ft.at[:, 0:15].set((bf << 16) | (lim_part & 0xFFFF))
+    ft = ft.at[:, 15:79].set(symw)
+    return ft
+
+
+_PAIR_COLS = list(range(0, 15))     # lim | bf<<16, l = 1..15
+_SYM_COLS = list(range(15, 79))
+
+
+def _fetch_all(ft, ctx, markov: bool):
+    """Chunked sublane-gather fetch of the ctx row of the fetch table.
+
+    ft: (256, 96) int32 (value or ref-load); ctx: (8, 128) int32.
+    One wide (8, 96*128) gather + one select per 8-context chunk: the
+    chunk's (8, 96) sub-table broadcasts across lanes as (8, 96, 128) ->
+    (8, 12288) with each value a contiguous 128-lane slab, so the whole
+    row fetch is ~6 ops per chunk instead of ~6 per value per chunk.
+    """
+    sub = ctx & 7
+    hi = ctx >> 3
+    n_chunks = 32 if markov else 1
+    NV = 79
+    idx_wide = jnp.broadcast_to(sub[:, None, :], (8, NV, 128)).reshape(
+        8, NV * 128)
+    acc = jnp.zeros((8, NV * 128), jnp.int32)
+    for c in range(n_chunks):
+        ftc = ft[c * 8:(c + 1) * 8, :]              # (8, 79)
+        tab = jnp.broadcast_to(ftc[:, :, None], (8, NV, 128)).reshape(
+            8, NV * 128)
+        g = jnp.take_along_axis(tab, idx_wide, axis=0)
+        if markov:
+            m = jnp.broadcast_to((hi == c)[:, None, :], (8, NV, 128)).reshape(
+                8, NV * 128)
+            acc = jnp.where(m, g, acc)
+        else:
+            acc = g
+    vals = [acc[:, v * 128:(v + 1) * 128] for v in (_PAIR_COLS + _SYM_COLS)]
+    np_ = len(_PAIR_COLS)
+    return vals[:np_], vals[np_:]
+
+
+def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool):
+    pairs, symws = _fetch_all(ft, ctx, markov)
+    win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
+    length = jnp.ones((8, 128), jnp.int32)
+    for lv in pairs[:14]:                       # lim[l], l = 1..14
+        length += (win >= (lv & 0xFFFF)).astype(jnp.int32)
+    code = win >> jnp.clip(MAX_CODE_LEN - length, 0, 31).astype(jnp.int32)
+    packed_bf = jnp.zeros((8, 128), jnp.int32)
+    for l, bv in enumerate(pairs, start=1):     # bf in high 16 bits
+        packed_bf = jnp.where(length == l, bv, packed_bf)
+    bf = packed_bf >> 16                        # arithmetic: sign ok
+    idx = jnp.clip(bf + code, 0, 255)
+    q = idx >> 2
+    symw = jnp.zeros((8, 128), jnp.int32)
+    for qq, sv in enumerate(symws):
+        symw = jnp.where(q == qq, sv, symw)
+    shift = (8 * (3 - (idx & 3))).astype(jnp.uint32)
+    sym = (symw.astype(jnp.uint32) >> shift).astype(jnp.int32) & 255
+    # consume `length` bits
+    ls = length.astype(jnp.uint32)
+    rs = (32 - length).astype(jnp.uint32)          # length in [1,15]
+    b0 = (b0 << ls) | (b1 >> rs)
+    b1 = (b1 << ls) | (b2 >> rs)
+    b2 = b2 << ls
+    cnt = cnt - length
+    return b0, b1, b2, cnt, sym
+
+
+def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
+    need = cnt <= 64
+    sel = w_iota == wp[:, :, None]
+    word = jnp.sum(jnp.where(sel, allw, jnp.uint32(0)), axis=2)
+    # insert 32 bits at bit offset cnt (cnt <= 64 when taken)
+    bs = [b0, b1, b2]
+    for i in range(3):
+        rel = cnt - 32 * i
+        right = word >> jnp.clip(rel, 0, 31).astype(jnp.uint32)
+        left = word << jnp.clip(-rel, 0, 31).astype(jnp.uint32)
+        piece = jnp.where(rel >= 0,
+                          jnp.where(rel <= 31, right, 0),
+                          jnp.where(rel >= -31, left, 0))
+        bs[i] = bs[i] | jnp.where(need, piece, jnp.uint32(0))
+    cnt = jnp.where(need, cnt + 32, cnt)
+    wp = jnp.where(need, wp + 1, wp)
+    return bs[0], bs[1], bs[2], cnt, wp
+
+
+def _decode_kernel(ft_ref, words_ref, out_ref,
+                   b0s, b1s, b2s, cnts, wps, ctxs, packs,
+                   *, W: int, out_chunk: int, markov: bool):
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _init():
+        b0s[:] = words_ref[0, :, :, 0]
+        b1s[:] = words_ref[0, :, :, 1]
+        b2s[:] = words_ref[0, :, :, 2]
+        cnts[:] = jnp.full((8, 128), 96, jnp.int32)
+        wps[:] = jnp.full((8, 128), 3, jnp.int32)
+        ctxs[:] = jnp.zeros((8, 128), jnp.int32)
+        packs[:] = jnp.zeros((8, 128), jnp.uint32)
+
+    allw = words_ref[0]                      # (8, 128, W) uint32
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
+    ft = ft_ref[:]
+
+    def iter_body(i, carry):
+        b0, b1, b2, cnt, wp, ctx, pack = carry
+        b0, b1, b2, cnt, wp = _refill(allw, w_iota, b0, b1, b2, cnt, wp)
+        t0 = 2 * i
+        for t_off in range(2):
+            b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
+                                               markov)
+            if markov:
+                ctx = sym
+            # byte position within the packed output word (i is traced)
+            shift = (8 * (3 - ((t0 + t_off) & 3))).astype(jnp.uint32)
+            pack = pack | (sym.astype(jnp.uint32) << shift)
+        # write a packed word every 4 symbols (every 2nd iteration)
+        @pl.when((i & 1) == 1)
+        def _store():
+            row = (2 * i + 1) // 4
+            out_ref[0, row] = pack
+
+        pack = jnp.where((i & 1) == 1, jnp.uint32(0), pack)
+        return b0, b1, b2, cnt, wp, ctx, pack
+
+    carry = (b0s[:].astype(jnp.uint32), b1s[:].astype(jnp.uint32),
+             b2s[:].astype(jnp.uint32), cnts[:], wps[:], ctxs[:],
+             packs[:].astype(jnp.uint32))
+    carry = jax.lax.fori_loop(0, out_chunk // 2, iter_body, carry)
+    b0, b1, b2, cnt, wp, ctx, pack = carry
+    b0s[:] = b0
+    b1s[:] = b1
+    b2s[:] = b2
+    cnts[:] = cnt
+    wps[:] = wp
+    ctxs[:] = ctx
+    packs[:] = pack
+
+
+@partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
+                                   "out_chunk"))
+def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
+                         sorted_syms, n_out: int, markov: bool = True,
+                         interpret: bool = False,
+                         out_chunk: int | None = None) -> jnp.ndarray:
+    """Decode R unit streams of n_out symbols each.
+
+    words: (R, W) uint32 bit-packed streams (padded; W from
+    words_for_block(n_out)). Returns (R, n_out) uint8 (positions past a
+    unit's true length contain garbage — caller trims by orig length).
+    """
+    R, W_in = words.shape
+    ochunk = out_chunk or OUT_CHUNK
+    assert ochunk % 4 == 0
+    assert n_out % ochunk == 0 or n_out <= ochunk, (n_out, ochunk)
+    n_sub = max(n_out, ochunk)
+    W = (max(W_in, 3) + 127) // 128 * 128   # lane-aligned stream buffer
+    ft = build_fetch_table(lim, base, first_code, sorted_syms)
+
+    n_tiles = (R + LANES - 1) // LANES
+    Rp = n_tiles * LANES
+    if Rp != R or W != W_in:
+        wpad = jnp.zeros((Rp, W), jnp.uint32)
+        words = wpad.at[:R, :W_in].set(words)
+    words4 = words.reshape(n_tiles, 8, 128, W)
+
+    grid = (n_tiles, n_sub // ochunk)
+    out = pl.pallas_call(
+        partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((256, 79), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128, W), lambda t, o: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ochunk // 4, 8, 128),
+                               lambda t, o: (t, o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_sub // 4, 8, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),  # b0
+            pltpu.VMEM((8, 128), jnp.uint32),  # b1
+            pltpu.VMEM((8, 128), jnp.uint32),  # b2
+            pltpu.VMEM((8, 128), jnp.int32),   # cnt
+            pltpu.VMEM((8, 128), jnp.int32),   # wptr
+            pltpu.VMEM((8, 128), jnp.int32),   # ctx
+            pltpu.VMEM((8, 128), jnp.uint32),  # pack
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(Rp) * n_sub * 400,
+            bytes_accessed=int(words4.size) * 4 + int(Rp) * n_sub,
+            transcendentals=0),
+        interpret=interpret,
+    )(ft, words4)
+
+    # unpack (tiles, n_sub/4, 8, 128) u32 -> (R, n_out) u8
+    b0 = (out >> 24) & 255
+    b1 = (out >> 16) & 255
+    b2 = (out >> 8) & 255
+    b3 = out & 255
+    syms = jnp.stack([b0, b1, b2, b3], axis=2)       # (t, n4, 4, 8, 128)
+    syms = syms.reshape(n_tiles, n_sub, 8, 128)
+    syms = jnp.moveaxis(syms, 1, -1)                 # (t, 8, 128, n_sub)
+    syms = syms.reshape(Rp, n_sub)[:R, :n_out]
+    return syms.astype(jnp.uint8)
+
+
+def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
+                          n_out: int, markov: bool) -> jnp.ndarray:
+    """Pure-jnp mirror of the kernel's symbol loop for ONE (8,128,W) tile.
+
+    Runs compiled on any backend — the correctness oracle for the Pallas
+    kernel math (same _refill/_decode_one functions, no Mosaic). Returns
+    (8, 128, n_out) int32 symbols."""
+    allw = jnp.asarray(words_tile, jnp.uint32)
+    W = allw.shape[2]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
+
+    def iter_body(carry, i):
+        b0, b1, b2, cnt, wp, ctx = carry
+        b0, b1, b2, cnt, wp = _refill(allw, w_iota, b0, b1, b2, cnt, wp)
+        syms = []
+        for _ in range(2):
+            b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
+                                               markov)
+            if markov:
+                ctx = sym
+            syms.append(sym)
+        return (b0, b1, b2, cnt, wp, ctx), jnp.stack(syms)
+
+    carry = (allw[:, :, 0], allw[:, :, 1], allw[:, :, 2],
+             jnp.full((8, 128), 96, jnp.int32),
+             jnp.full((8, 128), 3, jnp.int32),
+             jnp.zeros((8, 128), jnp.int32))
+    _, out = jax.lax.scan(iter_body, carry, jnp.arange((n_out + 1) // 2))
+    out = out.reshape(-1, 8, 128)[:n_out]           # (n_out, 8, 128)
+    return jnp.moveaxis(out, 0, -1)
