@@ -24,13 +24,16 @@ if not _os.environ.get("MHC_NO_COMPILE_CACHE"):
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from .api import (DEFAULT_BLOCK_SIZE, compress, compression_report,
-                  decompress)
+from .api import (DEFAULT_BLOCK_SIZE, DEFAULT_DECODE_UNIT,
+                  DEFAULT_SEGMENT_SIZE, compress, compress_file,
+                  compression_report, decompress, decompress_file)
 from .models.entropy import MARKOV, ORDER0, get_model
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "compress", "decompress", "compression_report", "get_model",
-    "ORDER0", "MARKOV", "DEFAULT_BLOCK_SIZE", "__version__",
+    "compress", "decompress", "compress_file", "decompress_file",
+    "compression_report", "get_model", "ORDER0", "MARKOV",
+    "DEFAULT_BLOCK_SIZE", "DEFAULT_DECODE_UNIT", "DEFAULT_SEGMENT_SIZE",
+    "__version__",
 ]

@@ -15,6 +15,7 @@ Multi-chip sharded variants live in `parallel/pipeline.py`.
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import jax
@@ -144,6 +145,71 @@ def decompress(blob: bytes, verify: bool = True,
     if verify:
         container.verify_crc(data, meta)
     return data
+
+
+# Segment chaining: a file larger than segment_size is stored as a plain
+# concatenation of independent containers. Bounds host/device memory and
+# keeps every per-context histogram total within int32 (the table-build
+# contract — ops/huffman.py), so multi-GB corpora need no special casing.
+DEFAULT_SEGMENT_SIZE = 1 << 30
+
+
+def compress_file(in_path: str, out_path: str, mode: str = "markov",
+                  block_size: int = DEFAULT_BLOCK_SIZE,
+                  decode_unit: int | None = None, crc: bool = True,
+                  segment_size: int = DEFAULT_SEGMENT_SIZE,
+                  sharded: bool = False, mesh=None) -> dict:
+    """Streaming file compression with segment chaining. Returns stats."""
+    total_in = os.path.getsize(in_path)
+    total_out = 0
+    n_segments = 0
+    with open(in_path, "rb") as f, open(out_path, "wb") as out:
+        while True:
+            seg = f.read(segment_size)
+            if not seg and n_segments > 0:
+                break
+            if sharded:
+                from .parallel import pipeline
+                blob = pipeline.compress_sharded(
+                    seg, mesh, mode=mode, block_size=block_size,
+                    crc=crc, decode_unit=decode_unit)
+            else:
+                blob = compress(seg, mode=mode, block_size=block_size,
+                                crc=crc, decode_unit=decode_unit)
+            out.write(blob)
+            total_out += len(blob)
+            n_segments += 1
+            if len(seg) < segment_size:
+                break
+    return {"orig_bytes": total_in, "compressed_bytes": total_out,
+            "ratio": total_out / max(total_in, 1),
+            "n_segments": n_segments}
+
+
+def decompress_file(in_path: str, out_path: str, verify: bool = True,
+                    decode_method: str = "scan",
+                    sharded: bool = False, mesh=None) -> dict:
+    """Streaming decompression of a (possibly segment-chained) file."""
+    blob = open(in_path, "rb").read()
+    total_out = 0
+    n_segments = 0
+    off = 0
+    with open(out_path, "wb") as out:
+        while off < len(blob):
+            meta = container.parse_container(blob[off:])
+            size = container.container_size(meta)
+            seg = blob[off:off + size]
+            if sharded:
+                from .parallel import pipeline
+                data = pipeline.decompress_sharded(seg, mesh, verify=verify)
+            else:
+                data = decompress(seg, verify=verify,
+                                  decode_method=decode_method)
+            out.write(data)
+            total_out += len(data)
+            n_segments += 1
+            off += size
+    return {"orig_bytes": total_out, "n_segments": n_segments}
 
 
 def compression_report(data: bytes, blob: bytes) -> dict:

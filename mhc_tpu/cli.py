@@ -41,6 +41,13 @@ def main(argv=None) -> int:
                     help="independent decode granularity (default 2K; "
                     "power of two dividing block-size)")
     pe.add_argument("--no-crc", action="store_true")
+    pe.add_argument("--segment-size", default="1G", type=_parse_size,
+                    help="stream files in independent segments (bounds "
+                    "memory; multi-GB inputs become chained containers)")
+    pe.add_argument("--sharded", action="store_true",
+                    help="data-parallel over all local devices")
+    pe.add_argument("--distributed", action="store_true",
+                    help="jax.distributed.initialize() first (multi-host)")
     pe.add_argument("--report", action="store_true",
                     help="print a JSON size/throughput report")
 
@@ -48,6 +55,10 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("output")
     pd.add_argument("--no-verify", action="store_true")
+    pd.add_argument("--decode-method", default="scan",
+                    choices=["scan", "pallas"])
+    pd.add_argument("--sharded", action="store_true")
+    pd.add_argument("--distributed", action="store_true")
     pd.add_argument("--report", action="store_true")
 
     ps = sub.add_parser("stat", help="inspect a container header")
@@ -65,36 +76,43 @@ def main(argv=None) -> int:
 
 
 def _run(args, api, container) -> int:
+    if getattr(args, "distributed", False):
+        import jax
+        jax.distributed.initialize()
+
     if args.cmd == "encode":
-        data = open(args.input, "rb").read()
         t0 = time.perf_counter()
-        blob = api.compress(data, mode=args.mode, block_size=args.block_size,
-                            crc=not args.no_crc,
-                            decode_unit=args.decode_unit)
+        rep = api.compress_file(
+            args.input, args.output, mode=args.mode,
+            block_size=args.block_size, decode_unit=args.decode_unit,
+            crc=not args.no_crc, segment_size=args.segment_size,
+            sharded=args.sharded)
         dt = time.perf_counter() - t0
-        open(args.output, "wb").write(blob)
         if args.report:
-            rep = api.compression_report(data, blob)
             rep["encode_seconds"] = dt
-            rep["encode_MBps"] = len(data) / dt / 1e6 if dt else None
+            rep["encode_MBps"] = (rep["orig_bytes"] / dt / 1e6
+                                  if dt else None)
             print(json.dumps(rep))
         else:
-            print(f"{args.input}: {len(data)} -> {len(blob)} bytes "
-                  f"({len(blob) / max(len(data), 1):.4f}) in {dt:.3f}s")
+            print(f"{args.input}: {rep['orig_bytes']} -> "
+                  f"{rep['compressed_bytes']} bytes "
+                  f"({rep['ratio']:.4f}) in {dt:.3f}s")
         return 0
 
     if args.cmd == "decode":
-        blob = open(args.input, "rb").read()
         t0 = time.perf_counter()
-        data = api.decompress(blob, verify=not args.no_verify)
+        rep = api.decompress_file(
+            args.input, args.output, verify=not args.no_verify,
+            decode_method=args.decode_method, sharded=args.sharded)
         dt = time.perf_counter() - t0
-        open(args.output, "wb").write(data)
         if args.report:
-            print(json.dumps({"orig_bytes": len(data),
-                              "decode_seconds": dt,
-                              "decode_MBps": len(data) / dt / 1e6 if dt else None}))
+            rep["decode_seconds"] = dt
+            rep["decode_MBps"] = (rep["orig_bytes"] / dt / 1e6
+                                  if dt else None)
+            print(json.dumps(rep))
         else:
-            print(f"{args.input}: {len(blob)} -> {len(data)} bytes in {dt:.3f}s")
+            print(f"{args.input}: -> {rep['orig_bytes']} bytes "
+                  f"in {dt:.3f}s")
         return 0
 
     if args.cmd == "stat":

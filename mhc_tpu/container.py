@@ -196,15 +196,23 @@ def split_payload(blob: bytes, meta: ContainerMeta) -> list[bytes]:
 
 
 def payload_to_words(blob: bytes, meta: ContainerMeta, W: int) -> np.ndarray:
-    """Vectorized unit-stream unpacking: payload -> (n_units, W) uint32."""
+    """Unit-stream unpacking: payload -> (n_units, W) uint32 (native
+    threaded memcpy via utils/native.py, numpy-mask fallback)."""
+    from .utils import native
     n_units = len(meta.byte_lengths)
     total = int(meta.byte_lengths.sum())
     flat = np.frombuffer(
         blob, np.uint8, count=total, offset=meta.payload_off)
-    buf = np.zeros((n_units, W * 4), dtype=np.uint8)
-    mask = (np.arange(W * 4)[None, :] < meta.byte_lengths[:, None])
-    buf[mask] = flat
+    buf = native.split_rows(flat, meta.byte_lengths, W * 4)
     return buf.view(">u4").astype(np.uint32).reshape(n_units, W)
+
+
+def container_size(meta: ContainerMeta) -> int:
+    """Total byte size of the container a meta was parsed from."""
+    size = meta.payload_off + int(meta.byte_lengths.sum())
+    if meta.flags & FLAG_CRC32:
+        size += 4
+    return size
 
 
 def verify_crc(data: bytes, meta: ContainerMeta) -> None:

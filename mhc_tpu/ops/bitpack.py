@@ -228,16 +228,13 @@ def words_to_block_bytes(words: np.ndarray, bit_lengths: np.ndarray):
 
 
 def words_to_payload(words: np.ndarray, bit_lengths: np.ndarray) -> bytes:
-    """Vectorized compaction: concatenate every unit's byte-aligned stream.
-
-    words: (R, W) uint32 host array; bit_lengths: (R,). One boolean-mask
-    gather instead of a Python loop over (possibly 100k) units.
-    """
+    """Concatenate every unit's byte-aligned stream (native threaded
+    memcpy via utils/native.py, numpy-mask fallback)."""
+    from ..utils import native
     raw = np.ascontiguousarray(words.astype('>u4')).view(np.uint8)
     raw = raw.reshape(words.shape[0], -1)
     nbytes = (np.asarray(bit_lengths).astype(np.int64) + 7) // 8
-    mask = np.arange(raw.shape[1])[None, :] < nbytes[:, None]
-    return raw[mask].tobytes()
+    return native.join_rows(raw, nbytes)
 
 
 def block_bytes_to_words(blocks, W: int) -> np.ndarray:
