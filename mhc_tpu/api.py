@@ -28,9 +28,13 @@ from .ops import bitpack
 
 DEFAULT_BLOCK_SIZE = 64 * 1024
 # Sequential decode length per lane. Smaller units = more decode lanes and
-# fewer sequential steps at ~2 bytes/unit index overhead; 2 KB keeps the
-# overhead ~0.1% while cutting the per-lane scan 32x vs 64 KB blocks.
+# fewer sequential steps at ~2 bits/unit packed-index overhead; 2 KB keeps
+# markov overhead ~0.1% while cutting the per-lane scan 32x vs 64 KB
+# blocks. Order-0 decode amortizes its (context-free, loop-invariant)
+# table fetch over the whole unit, so longer units cost little speed and
+# keep the container under the reference oracle's size.
 DEFAULT_DECODE_UNIT = 2048
+DEFAULT_DECODE_UNIT_ORDER0 = 16384
 
 
 def _default_hist_method() -> str:
@@ -66,9 +70,11 @@ def build_tables(model, blocks: np.ndarray, n_valid: np.ndarray,
     return tables, np.asarray(lengths, dtype=np.uint8)
 
 
-def resolve_decode_unit(block_size: int, decode_unit: int | None) -> int:
+def resolve_decode_unit(block_size: int, decode_unit: int | None,
+                        markov: bool = True) -> int:
     """Clamp the decode unit to the block size; units must divide blocks."""
-    du = decode_unit or DEFAULT_DECODE_UNIT
+    du = decode_unit or (DEFAULT_DECODE_UNIT if markov
+                         else DEFAULT_DECODE_UNIT_ORDER0)
     du = min(du, block_size)
     if block_size % du != 0 or du & (du - 1):
         raise ValueError(
@@ -89,7 +95,7 @@ def compress(data: bytes, mode: str = "markov",
     model = get_model(mode)
     if block_size & (block_size - 1):
         raise ValueError("block_size must be a power of two")
-    du = resolve_decode_unit(block_size, decode_unit)
+    du = resolve_decode_unit(block_size, decode_unit, model.markov)
     units, n_valid = blockify(data, du)
     orig_len = len(data)
     checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
@@ -215,10 +221,7 @@ def decompress_file(in_path: str, out_path: str, verify: bool = True,
 def compression_report(data: bytes, blob: bytes) -> dict:
     """Structured size accounting (SURVEY.md §5 metrics/observability)."""
     meta = container.parse_container(blob)
-    if meta.decode_unit:
-        index_bytes = 2 * len(meta.byte_lengths)
-    else:
-        index_bytes = 4 * meta.n_blocks
+    index_bytes = meta.index_bytes
     table_bytes = meta.payload_off - 24 - index_bytes
     payload = int(meta.byte_lengths.sum())
     return {

@@ -54,6 +54,7 @@ MODE_ORDER0 = 0
 MODE_MARKOV = 1
 FLAG_CRC32 = 1
 FLAG_SUBSTREAMS = 2
+FLAG_PACKED_INDEX = 4
 
 _HEADER = struct.Struct("<4sBBBBQII")
 
@@ -69,6 +70,7 @@ class ContainerMeta:
     lengths: np.ndarray       # (256,) order-0 or (256, 256) markov, uint8
     bit_lengths: np.ndarray   # legacy: (n_blocks,) bit lengths, int64
     byte_lengths: np.ndarray  # substream: (n_units,) byte lengths, int64
+    index_bytes: int          # serialized index size
     payload_off: int
     crc32: int | None
 
@@ -114,6 +116,42 @@ def parse_tables(mode: int, raw: bytes, off: int):
     return lengths, off
 
 
+def pack_index(byte_lens: np.ndarray) -> bytes:
+    """Bit-packed unit index: u16 base + u8 nbits + nbits-per-unit
+    residuals (LSB-first). Unit stream lengths cluster tightly, so this
+    typically costs well under half the flat u16 index."""
+    lens = np.asarray(byte_lens, np.int64)
+    if lens.size == 0:
+        return struct.pack("<HB", 0, 0)
+    base = int(lens.min())
+    resid = lens - base
+    span = int(resid.max())
+    nbits = max(span.bit_length(), 0)
+    head = struct.pack("<HB", base, nbits)
+    if nbits == 0:
+        return head
+    bits = ((resid[:, None] >> np.arange(nbits)[None, :]) & 1).astype(np.uint8)
+    return head + np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_index(raw: bytes, off: int, n_units: int):
+    """Inverse of pack_index. Returns (byte_lengths int64, new offset)."""
+    if len(raw) < off + 3:
+        raise ValueError("mhc: truncated container (packed index header)")
+    base, nbits = struct.unpack_from("<HB", raw, off)
+    off += 3
+    if nbits == 0:
+        return np.full(n_units, base, np.int64), off
+    nbytes = (n_units * nbits + 7) // 8
+    if len(raw) < off + nbytes:
+        raise ValueError("mhc: truncated container (packed index)")
+    bits = np.unpackbits(np.frombuffer(raw, np.uint8, nbytes, off),
+                         bitorder="little")[: n_units * nbits]
+    resid = (bits.reshape(n_units, nbits).astype(np.int64)
+             << np.arange(nbits)[None, :]).sum(axis=1)
+    return base + resid, off + nbytes
+
+
 def build_container(mode: int, orig_len: int, block_size: int,
                     lengths: np.ndarray, bit_lengths: np.ndarray,
                     payload: bytes, crc: int | None,
@@ -123,12 +161,11 @@ def build_container(mode: int, orig_len: int, block_size: int,
     byte-aligned unit streams."""
     flags = FLAG_CRC32 if crc is not None else 0
     if decode_unit is not None and decode_unit != block_size:
-        flags |= FLAG_SUBSTREAMS
+        flags |= FLAG_SUBSTREAMS | FLAG_PACKED_INDEX
         du_log2 = decode_unit.bit_length() - 1
         assert (1 << du_log2) == decode_unit, "decode_unit must be pow2"
         n_blocks = (orig_len + block_size - 1) // block_size
-        index = (((np.asarray(bit_lengths, np.int64) + 7) // 8)
-                 .astype("<u2").tobytes())
+        index = pack_index((np.asarray(bit_lengths, np.int64) + 7) // 8)
     else:
         du_log2 = 0
         n_blocks = len(bit_lengths)
@@ -155,15 +192,20 @@ def parse_container(blob: bytes) -> ContainerMeta:
         raise ValueError(f"mhc: unknown mode {mode}")
     off = _HEADER.size
     lengths, off = parse_tables(mode, blob, off)
+    idx_start = off
     if flags & FLAG_SUBSTREAMS:
         decode_unit = 1 << du_log2
         n_units = (orig_len + decode_unit - 1) // decode_unit
-        idx_bytes = 2 * n_units
-        if len(blob) < off + idx_bytes:
-            raise ValueError("mhc: truncated container (unit index)")
-        byte_lengths = np.frombuffer(
-            blob[off:off + idx_bytes], dtype="<u2").astype(np.int64)
         bit_lengths = np.zeros((0,), np.int64)
+        if flags & FLAG_PACKED_INDEX:
+            byte_lengths, off = unpack_index(blob, off, n_units)
+        else:
+            idx_bytes = 2 * n_units
+            if len(blob) < off + idx_bytes:
+                raise ValueError("mhc: truncated container (unit index)")
+            byte_lengths = np.frombuffer(
+                blob[off:off + idx_bytes], dtype="<u2").astype(np.int64)
+            off += idx_bytes
     else:
         decode_unit = None
         idx_bytes = 4 * n_blocks
@@ -172,7 +214,8 @@ def parse_container(blob: bytes) -> ContainerMeta:
         bit_lengths = np.frombuffer(
             blob[off:off + idx_bytes], dtype="<u4").astype(np.int64)
         byte_lengths = (bit_lengths + 7) // 8
-    off += idx_bytes
+        off += idx_bytes
+    index_bytes = off - idx_start
     payload_len = int(byte_lengths.sum())
     crc = None
     tail = off + payload_len
@@ -186,7 +229,7 @@ def parse_container(blob: bytes) -> ContainerMeta:
                          n_blocks=n_blocks, flags=flags,
                          decode_unit=decode_unit, lengths=lengths,
                          bit_lengths=bit_lengths, byte_lengths=byte_lengths,
-                         payload_off=off, crc32=crc)
+                         index_bytes=index_bytes, payload_off=off, crc32=crc)
 
 
 def split_payload(blob: bytes, meta: ContainerMeta) -> list[bytes]:

@@ -160,7 +160,7 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None,
 
     model = get_model(mode)
     mesh = mesh or make_mesh()
-    du = resolve_decode_unit(block_size, decode_unit)
+    du = resolve_decode_unit(block_size, decode_unit, model.markov)
     units, n_valid = blockify(data, du)
     checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
     if units.shape[0] == 0:
