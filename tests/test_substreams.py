@@ -61,3 +61,31 @@ def test_ragged_tail_single_unit():
         data = english_like(n, seed=n)
         blob = api.compress(data, mode="markov", decode_unit=2048)
         assert api.decompress(blob) == data
+
+
+def test_index_pack_unpack_inverse():
+    import numpy as np
+    from mhc_tpu import container as C
+    rng = np.random.default_rng(3)
+    for lens in [rng.integers(0, 4000, 1000), np.full(64, 257),
+                 np.array([0]), np.array([65535]), rng.integers(0, 2, 500)]:
+        lens = lens.astype(np.int64)
+        raw = C.pack_index(lens)
+        back, off = C.unpack_index(b"xx" + raw, 2, len(lens))
+        assert off == 2 + len(raw)
+        assert (back == lens).all()
+
+
+def test_table_serialize_parse_inverse():
+    import numpy as np
+    from mhc_tpu import container as C
+    rng = np.random.default_rng(4)
+    lens0 = rng.integers(0, 16, 256).astype(np.uint8)
+    raw = C.serialize_tables(C.MODE_ORDER0, lens0)
+    back, off = C.parse_tables(C.MODE_ORDER0, raw, 0)
+    assert off == len(raw) and (back == lens0).all()
+    lensM = rng.integers(0, 16, (256, 256)).astype(np.uint8)
+    lensM[rng.random(256) < 0.5] = 0  # absent contexts
+    raw = C.serialize_tables(C.MODE_MARKOV, lensM)
+    back, off = C.parse_tables(C.MODE_MARKOV, raw, 0)
+    assert off == len(raw) and (back == lensM).all()
