@@ -101,8 +101,8 @@ def decode_blocks(words: jnp.ndarray, n_valid: jnp.ndarray,
     B, W = words.shape
     Lp1 = max_len + 1
     lim_f = lim.reshape(-1)
-    base_f = base.reshape(-1)
-    first_f = first_code.reshape(-1)
+    # single fused (base - first_code) table: one gather instead of two
+    bf_f = (base.astype(jnp.int32) - first_code.astype(jnp.int32)).reshape(-1)
     sorted_f = sorted_syms.reshape(-1)
     barange = jnp.arange(B)
 
@@ -121,9 +121,7 @@ def decode_blocks(words: jnp.ndarray, n_valid: jnp.ndarray,
         ge = (window[:, None] >= limr[:, 1:max_len]).astype(jnp.int32)
         length = 1 + ge.sum(axis=1)                         # (B,)
         code = (window >> (max_len - length).astype(jnp.uint32)).astype(jnp.int32)
-        tix = ctx * Lp1 + length
-        idx = base_f[tix] + code - first_f[tix]
-        idx = jnp.clip(idx, 0, 255)
+        idx = jnp.clip(bf_f[ctx * Lp1 + length] + code, 0, 255)
         sym = sorted_f[ctx * 256 + idx]
 
         valid = t < n_valid

@@ -99,8 +99,37 @@ def _fetch_all(ft, ctx, markov: bool):
     return vals[:np_], vals[np_:]
 
 
-def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool):
-    pairs, symws = _fetch_all(ft, ctx, markov)
+def _fetch_all_mxu(ft, ctx, markov: bool):
+    """MXU variant of the table-row fetch: a batched one-hot matmul.
+
+    oh[r, j, c] = (ctx[r,j] == c) in f32; fetched = oh @ ft via
+    dot_general contracting the 256-context axis (batch-free 3D form, no
+    reshapes of the (8, 128) lane layout). ~41M f32 MACs per step — a few
+    MXU cycles — replacing the 32-chunk gather/select pass. ft words use
+    all 32 bits (symw), so the table is fetched as TWO 16-bit halves
+    (exact in f32: values < 2^16 << 2^24) and recombined.
+    """
+    if not markov:
+        return _fetch_all(ft, ctx, markov)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 256), 2)
+    oh = (ctx[:, :, None] == iota_c).astype(jnp.float32)
+    lo = (ft & 0xFFFF).astype(jnp.float32)       # (256, NV) halves
+    hi = ((ft >> 16) & 0xFFFF).astype(jnp.float32)
+    dn = (((2,), (0,)), ((), ()))
+    flo = jax.lax.dot_general(oh, lo, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    fhi = jax.lax.dot_general(oh, hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    fetched = (fhi.astype(jnp.int32) << 16) | flo.astype(jnp.int32)
+    pairs = [fetched[:, :, v] for v in _PAIR_COLS]
+    symws = [fetched[:, :, v] for v in _SYM_COLS]
+    return pairs, symws
+
+
+def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
+                fetch_impl: str = "chunk"):
+    fetch = _fetch_all_mxu if fetch_impl == "mxu" else _fetch_all
+    pairs, symws = fetch(ft, ctx, markov)
     win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
     length = jnp.ones((8, 128), jnp.int32)
     for lv in pairs[:14]:                       # lim[l], l = 1..14
@@ -148,7 +177,8 @@ def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
 
 def _decode_kernel(ft_ref, words_ref, out_ref,
                    b0s, b1s, b2s, cnts, wps, ctxs, packs,
-                   *, W: int, out_chunk: int, markov: bool):
+                   *, W: int, out_chunk: int, markov: bool,
+                   fetch_impl: str):
     o = pl.program_id(1)
 
     @pl.when(o == 0)
@@ -171,7 +201,7 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
         t0 = 2 * i
         for t_off in range(2):
             b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
-                                               markov)
+                                               markov, fetch_impl)
             if markov:
                 ctx = sym
             # byte position within the packed output word (i is traced)
@@ -201,11 +231,12 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
 
 
 @partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
-                                   "out_chunk"))
+                                   "out_chunk", "fetch_impl"))
 def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          sorted_syms, n_out: int, markov: bool = True,
                          interpret: bool = False,
-                         out_chunk: int | None = None) -> jnp.ndarray:
+                         out_chunk: int | None = None,
+                         fetch_impl: str = "chunk") -> jnp.ndarray:
     """Decode R unit streams of n_out symbols each.
 
     words: (R, W) uint32 bit-packed streams (padded; W from
@@ -229,7 +260,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
 
     grid = (n_tiles, n_sub // ochunk)
     out = pl.pallas_call(
-        partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov),
+        partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
+                fetch_impl=fetch_impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((256, 79), lambda t, o: (0, 0),
@@ -271,7 +303,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
 
 
 def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
-                          n_out: int, markov: bool) -> jnp.ndarray:
+                          n_out: int, markov: bool,
+                          fetch_impl: str = "chunk") -> jnp.ndarray:
     """Pure-jnp mirror of the kernel's symbol loop for ONE (8,128,W) tile.
 
     Runs compiled on any backend — the correctness oracle for the Pallas
@@ -287,7 +320,7 @@ def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
         syms = []
         for _ in range(2):
             b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
-                                               markov)
+                                               markov, fetch_impl)
             if markov:
                 ctx = sym
             syms.append(sym)
