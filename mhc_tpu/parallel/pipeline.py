@@ -97,9 +97,38 @@ def _build_tables_shard_from_lengths(lengths, markov: bool):
     return t, lengths
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans processes (multi-host pod)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _to_global(host_array: np.ndarray, sharding):
+    """Place a host array (full copy on every process) onto a sharding
+    that may span processes."""
+    if is_multiprocess(sharding.mesh):
+        # every host holds the full array; JAX slices out local shards
+        return jax.make_array_from_process_local_data(
+            sharding, host_array, global_shape=host_array.shape)
+    return jax.device_put(host_array, sharding)
+
+
+def _to_host(global_array) -> np.ndarray:
+    """Ordered gather of a (possibly cross-process) sharded array."""
+    arr = jax.block_until_ready(global_array)
+    if arr.is_fully_addressable:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def shard_blocks(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
                  axis: str = DATA_AXIS):
-    """Pad the block batch to the shard count and place it on the mesh."""
+    """Pad the block batch to the shard count and place it on the mesh.
+
+    Multi-host contract: every process passes the identical full block
+    batch (each host reads the same input), and JAX materializes only
+    the local shards."""
     n_shards = mesh.shape[axis]
     B = blocks.shape[0]
     Bp = pad_to_multiple(max(B, 1), n_shards)
@@ -109,8 +138,8 @@ def shard_blocks(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
         n_valid = np.concatenate(
             [n_valid, np.zeros((Bp - B,), n_valid.dtype)])
     sharding = NamedSharding(mesh, P(axis))
-    return (jax.device_put(blocks, sharding),
-            jax.device_put(n_valid, NamedSharding(mesh, P(axis))), B)
+    return (_to_global(blocks, sharding),
+            _to_global(n_valid, NamedSharding(mesh, P(axis))), B)
 
 
 def encode_sharded(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
@@ -120,7 +149,7 @@ def encode_sharded(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
     blocks_d, nv_d, B = shard_blocks(blocks, n_valid, mesh)
     words, bits, lengths = _encode_sharded(
         blocks_d, nv_d, markov=markov, mesh=mesh, hist_method=hist_method)
-    return (np.asarray(words)[:B], np.asarray(bits)[:B],
+    return (_to_host(words)[:B], _to_host(bits)[:B],
             np.asarray(lengths, dtype=np.uint8))
 
 
@@ -137,12 +166,12 @@ def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
         n_valid = np.concatenate([n_valid, np.zeros((Bp - B,), n_valid.dtype)])
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     out = _decode_sharded(
-        jax.device_put(words, sharding),
-        jax.device_put(n_valid, sharding),
-        jax.device_put(jnp.asarray(lengths, jnp.int32),
-                       NamedSharding(mesh, P())),
+        _to_global(words, sharding),
+        _to_global(n_valid, sharding),
+        _to_global(np.asarray(lengths, np.int32),
+                   NamedSharding(mesh, P())),
         markov=markov, n_out=n_out, mesh=mesh)
-    return np.asarray(out)[:B]
+    return _to_host(out)[:B]
 
 
 # ---------------------------------------------------------------------------
