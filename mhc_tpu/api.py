@@ -38,8 +38,15 @@ DEFAULT_DECODE_UNIT_ORDER0 = 16384
 
 
 def _default_hist_method() -> str:
+    env = os.environ.get("MHC_HIST_METHOD")
+    if env:
+        return env
     platform = jax.default_backend()
     return "scatter" if platform == "cpu" else "matmul"
+
+
+def _default_decode_method() -> str:
+    return os.environ.get("MHC_DECODE_METHOD", "scan")
 
 
 def blockify(data: bytes | np.ndarray, block_size: int):
@@ -119,10 +126,12 @@ def compress(data: bytes, mode: str = "markov",
 
 
 def decompress(blob: bytes, verify: bool = True,
-               decode_method: str = "scan") -> bytes:
+               decode_method: str | None = None) -> bytes:
     """decode_method: 'scan' (XLA scan, any backend) or 'pallas'
     (Mosaic kernel; TPU only — symbol loop runs on-chip with no
-    per-step dispatch overhead)."""
+    per-step dispatch overhead). Default from MHC_DECODE_METHOD env
+    var, else 'scan'."""
+    decode_method = decode_method or _default_decode_method()
     meta = container.parse_container(blob)
     model = get_model(meta.mode)
     if meta.orig_len == 0:
