@@ -186,21 +186,30 @@ def encode_blocks_merge(data: jnp.ndarray, n_valid: jnp.ndarray,
         llen = pairs_l[:, :, 0]
         rlen = pairs_l[:, :, 1]
 
-        o = (llen >> 5)[..., None]                          # word offset
-        s = (llen & 31)[..., None].astype(jnp.uint32)       # bit offset
         if W_out > W_in:
             right = jnp.pad(right, ((0, 0), (0, 0), (0, W_out - W_in)))
             left = jnp.pad(left, ((0, 0), (0, 0), (0, W_out - W_in)))
-        w_idx = jnp.arange(W_out)[None, None, :]
-        idx1 = w_idx - o
-        idx2 = idx1 - 1
-        g1 = jnp.take_along_axis(right, jnp.clip(idx1, 0, W_out - 1), axis=2)
-        g2 = jnp.take_along_axis(right, jnp.clip(idx2, 0, W_out - 1), axis=2)
-        part = jnp.where(idx1 >= 0, g1 >> s, jnp.uint32(0))
-        part = part | jnp.where((idx2 >= 0) & (s > 0),
-                                g2 << ((32 - s) & jnp.uint32(31)),
-                                jnp.uint32(0))
-        buf = left | part
+
+        # Shift `right` right by llen bits with a barrel shifter: one
+        # masked UNIFORM shift per bit of llen. XLA lowers per-node
+        # word-offset gathers quadratically (~584 GB touched per MB!);
+        # static-slice shifts are plain dense ops.
+        t = llen[..., None]                                 # (B, m, 1)
+        # bit-level stages: 1, 2, 4, 8, 16
+        for k in (1, 2, 4, 8, 16):
+            hi = right >> jnp.uint32(k)
+            lo = jnp.pad(right, ((0, 0), (0, 0), (1, 0)))[:, :, :-1] \
+                << jnp.uint32(32 - k)
+            right = jnp.where((t & k) != 0, hi | lo, right)
+        # word-level stages: 1, 2, 4, ... words (32, 64, ... bits)
+        wshift = 1
+        while wshift * 32 <= max_len * (node_syms // 2):
+            moved = jnp.pad(
+                right, ((0, 0), (0, 0), (wshift, 0)))[:, :, :W_out]
+            right = jnp.where((t & (32 * wshift)) != 0, moved, right)
+            wshift *= 2
+
+        buf = left | right
         L = llen + rlen
         W_in = W_out
 

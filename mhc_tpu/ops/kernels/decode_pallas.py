@@ -82,6 +82,10 @@ def _fetch_all(ft, ctx, markov: bool):
     NV = 79
     idx_wide = jnp.broadcast_to(sub[:, None, :], (8, NV, 128)).reshape(
         8, NV * 128)
+    # Mosaic crashes on broadcast+reshape of BOOL masks; broadcast the
+    # int context and compare in the wide shape instead
+    hi_wide = jnp.broadcast_to(hi[:, None, :], (8, NV, 128)).reshape(
+        8, NV * 128)
     acc = jnp.zeros((8, NV * 128), jnp.int32)
     for c in range(n_chunks):
         ftc = ft[c * 8:(c + 1) * 8, :]              # (8, 79)
@@ -89,9 +93,7 @@ def _fetch_all(ft, ctx, markov: bool):
             8, NV * 128)
         g = jnp.take_along_axis(tab, idx_wide, axis=0)
         if markov:
-            m = jnp.broadcast_to((hi == c)[:, None, :], (8, NV, 128)).reshape(
-                8, NV * 128)
-            acc = jnp.where(m, g, acc)
+            acc = jnp.where(hi_wide == c, g, acc)
         else:
             acc = g
     vals = [acc[:, v * 128:(v + 1) * 128] for v in (_PAIR_COLS + _SYM_COLS)]
@@ -159,7 +161,11 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
 def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
     need = cnt <= 64
     sel = w_iota == wp[:, :, None]
-    word = jnp.sum(jnp.where(sel, allw, jnp.uint32(0)), axis=2)
+    # Mosaic can't reduce unsigned ints; i32 view is bit-exact (one
+    # nonzero addend per lane, two's complement)
+    allw_i = allw.astype(jnp.int32)
+    word = jnp.sum(jnp.where(sel, allw_i, jnp.int32(0)),
+                   axis=2).astype(jnp.uint32)
     # insert 32 bits at bit offset cnt (cnt <= 64 when taken)
     bs = [b0, b1, b2]
     for i in range(3):

@@ -31,11 +31,11 @@ def _hist_kernel(prev_ref, cur_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p = prev_ref[0, :]
-    c = cur_ref[0, :]
+    p = prev_ref[0]                                   # (CHUNK, 1)
+    c = cur_ref[0]
     sym = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 256), 1)
-    a = (p[:, None] == sym).astype(jnp.bfloat16)
-    b = (c[:, None] == sym).astype(jnp.bfloat16)
+    a = (p == sym).astype(jnp.bfloat16)               # broadcast compare
+    b = (c == sym).astype(jnp.bfloat16)
     partial_counts = jax.lax.dot_general(
         a, b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -53,16 +53,19 @@ def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
         prev = jnp.concatenate([prev, jnp.full((pad,), 256, jnp.int32)])
         cur = jnp.concatenate([cur, jnp.full((pad,), 256, jnp.int32)])
     n_chunks = prev.shape[0] // CHUNK
-    prev2 = prev.reshape(n_chunks, CHUNK)
-    cur2 = cur.reshape(n_chunks, CHUNK)
+    # (n_chunks, CHUNK, 1) blocks: last-two block dims (CHUNK, 1) satisfy
+    # Mosaic tiling (CHUNK % 8 == 0; trailing dim equals the array's),
+    # and the kernel's one-hot builds 2D with no in-kernel reshape
+    prev2 = prev.reshape(n_chunks, CHUNK, 1)
+    cur2 = cur.reshape(n_chunks, CHUNK, 1)
 
     return pl.pallas_call(
         _hist_kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0),
