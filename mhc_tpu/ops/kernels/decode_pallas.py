@@ -128,10 +128,56 @@ def _fetch_all_mxu(ft, ctx, markov: bool):
     return pairs, symws
 
 
+def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
+    """Slab variant: symw columns come pre-broadcast as (32, 8, 64*128)
+    so the symbol loop does only gather+select per chunk (the in-kernel
+    broadcast construction of the 64 symw slabs dominates _fetch_all).
+    Pairs (15 cols) still use the in-kernel broadcast — cheap."""
+    sub = ctx & 7
+    hi = ctx >> 3
+    n_chunks = 32 if markov else 1
+    NP = len(_PAIR_COLS)
+    idx_p = jnp.broadcast_to(sub[:, None, :], (8, NP, 128)).reshape(
+        8, NP * 128)
+    hi_p = jnp.broadcast_to(hi[:, None, :], (8, NP, 128)).reshape(
+        8, NP * 128)
+    NS = 64
+    idx_s = jnp.broadcast_to(sub[:, None, :], (8, NS, 128)).reshape(
+        8, NS * 128)
+    hi_s = jnp.broadcast_to(hi[:, None, :], (8, NS, 128)).reshape(
+        8, NS * 128)
+    accp = jnp.zeros((8, NP * 128), jnp.int32)
+    accs = jnp.zeros((8, NS * 128), jnp.int32)
+    for c in range(n_chunks):
+        ftc = ft[c * 8:(c + 1) * 8, :NP]
+        tabp = jnp.broadcast_to(ftc[:, :, None], (8, NP, 128)).reshape(
+            8, NP * 128)
+        gp = jnp.take_along_axis(tabp, idx_p, axis=0)
+        gs = jnp.take_along_axis(ftsym_wide[c], idx_s, axis=0)
+        if markov:
+            accp = jnp.where(hi_p == c, gp, accp)
+            accs = jnp.where(hi_s == c, gs, accs)
+        else:
+            accp, accs = gp, gs
+    pairs = [accp[:, v * 128:(v + 1) * 128] for v in range(NP)]
+    symws = [accs[:, v * 128:(v + 1) * 128] for v in range(NS)]
+    return pairs, symws
+
+
+def build_sym_slabs(ft: jnp.ndarray) -> jnp.ndarray:
+    """(256, 79) fetch table -> (32, 8, 64*128) pre-broadcast symw slabs."""
+    symw = ft[:, 15:79].reshape(32, 8, 64)
+    return jnp.broadcast_to(symw[:, :, :, None],
+                            (32, 8, 64, 128)).reshape(32, 8, 64 * 128)
+
+
 def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
-                fetch_impl: str = "chunk"):
-    fetch = _fetch_all_mxu if fetch_impl == "mxu" else _fetch_all
-    pairs, symws = fetch(ft, ctx, markov)
+                fetch_impl: str = "chunk", ftsym_wide=None):
+    if fetch_impl == "slab":
+        pairs, symws = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
+    else:
+        fetch = _fetch_all_mxu if fetch_impl == "mxu" else _fetch_all
+        pairs, symws = fetch(ft, ctx, markov)
     win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
     length = jnp.ones((8, 128), jnp.int32)
     for lv in pairs[:14]:                       # lim[l], l = 1..14
@@ -184,7 +230,9 @@ def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
 def _decode_kernel(ft_ref, words_ref, out_ref,
                    b0s, b1s, b2s, cnts, wps, ctxs, packs,
                    *, W: int, out_chunk: int, markov: bool,
-                   fetch_impl: str):
+                   fetch_impl: str, ftsym_ref=None):
+    # slab variant passes the pre-broadcast symw slabs as a second
+    # table operand (bound via functools.partial on the ref position)
     o = pl.program_id(1)
 
     @pl.when(o == 0)
@@ -200,6 +248,7 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
     allw = words_ref[0]                      # (8, 128, W) uint32
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
     ft = ft_ref[:]
+    ftsym = ftsym_ref[:] if ftsym_ref is not None else None
 
     def iter_body(i, carry):
         b0, b1, b2, cnt, wp, ctx, pack = carry
@@ -207,7 +256,7 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
         t0 = 2 * i
         for t_off in range(2):
             b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
-                                               markov, fetch_impl)
+                                               markov, fetch_impl, ftsym)
             if markov:
                 ctx = sym
             # byte position within the packed output word (i is traced)
@@ -265,36 +314,63 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     words4 = words.reshape(n_tiles, 8, 128, W)
 
     grid = (n_tiles, n_sub // ochunk)
-    out = pl.pallas_call(
-        partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
-                fetch_impl=fetch_impl),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((256, 79), lambda t, o: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128, W), lambda t, o: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ochunk // 4, 8, 128),
-                               lambda t, o: (t, o, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, n_sub // 4, 8, 128), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.uint32),  # b0
-            pltpu.VMEM((8, 128), jnp.uint32),  # b1
-            pltpu.VMEM((8, 128), jnp.uint32),  # b2
-            pltpu.VMEM((8, 128), jnp.int32),   # cnt
-            pltpu.VMEM((8, 128), jnp.int32),   # wptr
-            pltpu.VMEM((8, 128), jnp.int32),   # ctx
-            pltpu.VMEM((8, 128), jnp.uint32),  # pack
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(Rp) * n_sub * 400,
-            bytes_accessed=int(words4.size) * 4 + int(Rp) * n_sub,
-            transcendentals=0),
-        interpret=interpret,
-    )(ft, words4)
+    scratch = [
+        pltpu.VMEM((8, 128), jnp.uint32),  # b0
+        pltpu.VMEM((8, 128), jnp.uint32),  # b1
+        pltpu.VMEM((8, 128), jnp.uint32),  # b2
+        pltpu.VMEM((8, 128), jnp.int32),   # cnt
+        pltpu.VMEM((8, 128), jnp.int32),   # wptr
+        pltpu.VMEM((8, 128), jnp.int32),   # ctx
+        pltpu.VMEM((8, 128), jnp.uint32),  # pack
+    ]
+    cost = pl.CostEstimate(
+        flops=int(Rp) * n_sub * 400,
+        bytes_accessed=int(words4.size) * 4 + int(Rp) * n_sub,
+        transcendentals=0)
+    out_spec = pl.BlockSpec((1, ochunk // 4, 8, 128),
+                            lambda t, o: (t, o, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(
+        (n_tiles, n_sub // 4, 8, 128), jnp.uint32)
+    ft_spec = pl.BlockSpec((256, 79), lambda t, o: (0, 0),
+                           memory_space=pltpu.VMEM)
+    words_spec = pl.BlockSpec((1, 8, 128, W), lambda t, o: (t, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    if fetch_impl == "slab":
+        ftsym_wide = build_sym_slabs(ft)
+
+        def kernel_slab(ft_ref, ftsym_ref, words_ref, out_ref, *scr):
+            return _decode_kernel(ft_ref, words_ref, out_ref, *scr,
+                                  W=W, out_chunk=ochunk, markov=markov,
+                                  fetch_impl="slab", ftsym_ref=ftsym_ref)
+
+        out = pl.pallas_call(
+            kernel_slab,
+            grid=grid,
+            in_specs=[
+                ft_spec,
+                pl.BlockSpec((32, 8, 64 * 128), lambda t, o: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                words_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(ft, ftsym_wide, words4)
+    else:
+        out = pl.pallas_call(
+            partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
+                    fetch_impl=fetch_impl),
+            grid=grid,
+            in_specs=[ft_spec, words_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(ft, words4)
 
     # unpack (tiles, n_sub/4, 8, 128) u32 -> (R, n_out) u8
     b0 = (out >> 24) & 255
@@ -311,6 +387,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
 def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
                           n_out: int, markov: bool,
                           fetch_impl: str = "chunk") -> jnp.ndarray:
+    ftsym = build_sym_slabs(ft) if fetch_impl == "slab" else None
     """Pure-jnp mirror of the kernel's symbol loop for ONE (8,128,W) tile.
 
     Runs compiled on any backend — the correctness oracle for the Pallas
@@ -326,7 +403,7 @@ def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
         syms = []
         for _ in range(2):
             b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
-                                               markov, fetch_impl)
+                                               markov, fetch_impl, ftsym)
             if markov:
                 ctx = sym
             syms.append(sym)
