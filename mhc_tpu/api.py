@@ -94,6 +94,13 @@ def resolve_decode_unit(block_size: int, decode_unit: int | None,
     return du
 
 
+def _tracer():
+    if os.environ.get("MHC_TRACE"):
+        from .utils.metrics import Trace
+        return Trace()
+    return None
+
+
 def compress(data: bytes, mode: str = "markov",
              block_size: int = DEFAULT_BLOCK_SIZE,
              hist_method: str | None = None, crc: bool = True,
@@ -102,27 +109,47 @@ def compress(data: bytes, mode: str = "markov",
     model = get_model(mode)
     if block_size & (block_size - 1):
         raise ValueError("block_size must be a power of two")
+    tr = _tracer()
+    from contextlib import nullcontext
+    ph = (lambda *a, **k: nullcontext()) if tr is None else tr.phase
     du = resolve_decode_unit(block_size, decode_unit, model.markov)
-    units, n_valid = blockify(data, du)
+    with ph("blockify", len(data)):
+        units, n_valid = blockify(data, du)
     orig_len = len(data)
-    checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
+    with ph("crc32", orig_len):
+        checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
     if units.shape[0] == 0:
         return container.build_container(
             model.mode, 0, block_size,
             np.zeros((256, 256) if model.markov else (256,), np.uint8),
             np.zeros((0,), np.int64), b"", checksum, decode_unit=du)
-    tables, lengths_host = build_tables(model, units, n_valid, hist_method)
+    with ph("h2d", units.nbytes):
+        units_d = jnp.asarray(units)
+        nv_d = jnp.asarray(n_valid)
+        jax.block_until_ready(units_d)
+    with ph("tables", orig_len):
+        tables, lengths_host = build_tables(model, units_d, nv_d,
+                                            hist_method)
+        jax.block_until_ready(tables["codes"])
     encode = (bitpack.encode_blocks_merge if pack_method == "merge"
               else bitpack.encode_blocks)
-    words, bits = encode(
-        jnp.asarray(units), jnp.asarray(n_valid),
-        tables["codes"], tables["lengths"])
-    words_h = np.asarray(words)
-    bits_h = np.asarray(bits).astype(np.int64)
-    payload = bitpack.words_to_payload(words_h, bits_h)
-    return container.build_container(model.mode, orig_len, block_size,
-                                     lengths_host, bits_h, payload, checksum,
-                                     decode_unit=du)
+    with ph("pack", orig_len):
+        words, bits = encode(units_d, nv_d,
+                             tables["codes"], tables["lengths"])
+        jax.block_until_ready(bits)
+    with ph("d2h", int(words.size) * 4):
+        words_h = np.asarray(words)
+        bits_h = np.asarray(bits).astype(np.int64)
+    with ph("marshal", orig_len):
+        payload = bitpack.words_to_payload(words_h, bits_h)
+    with ph("container", len(payload)):
+        blob = container.build_container(
+            model.mode, orig_len, block_size, lengths_host, bits_h,
+            payload, checksum, decode_unit=du)
+    if tr is not None:
+        import sys
+        print(f"[mhc-trace compress] {tr.dumps()}", file=sys.stderr)
+    return blob
 
 
 def decompress(blob: bytes, verify: bool = True,
@@ -132,33 +159,50 @@ def decompress(blob: bytes, verify: bool = True,
     per-step dispatch overhead). Default from MHC_DECODE_METHOD env
     var, else 'scan'."""
     decode_method = decode_method or _default_decode_method()
+    tr = _tracer()
+    from contextlib import nullcontext
+    ph = (lambda *a, **k: nullcontext()) if tr is None else tr.phase
     meta = container.parse_container(blob)
     model = get_model(meta.mode)
     if meta.orig_len == 0:
         return b""
-    tables = model.tables_from_lengths(
-        jnp.asarray(meta.lengths, jnp.int32))
+    with ph("tables", 0):
+        tables = model.tables_from_lengths(
+            jnp.asarray(meta.lengths, jnp.int32))
+        jax.block_until_ready(tables["lim"])
     du = meta.decode_unit or meta.block_size
     W = bitpack.words_for_block(du)
-    words = container.payload_to_words(blob, meta, W)
+    with ph("unmarshal", len(blob)):
+        words = container.payload_to_words(blob, meta, W)
     R = words.shape[0]
-    if decode_method == "pallas":
-        from .ops.kernels import decode_pallas
-        out = decode_pallas.decode_blocks_pallas(
-            jnp.asarray(words), tables["lim"], tables["base"],
-            tables["first_code"], tables["sorted_syms"],
-            n_out=du, markov=model.markov)
-    else:
-        n_valid = np.full(R, du, dtype=np.int32)
-        n_valid[-1] = meta.orig_len - (R - 1) * du
-        out = bitpack.decode_blocks(
-            jnp.asarray(words), jnp.asarray(n_valid),
-            tables["lim"], tables["base"], tables["first_code"],
-            tables["sorted_syms"], n_out=du, markov=model.markov)
-    out_h = np.asarray(out).reshape(-1)[: meta.orig_len]
-    data = out_h.tobytes()
-    if verify:
-        container.verify_crc(data, meta)
+    with ph("h2d", int(words.nbytes)):
+        words_d = jnp.asarray(words)
+        jax.block_until_ready(words_d)
+    with ph("decode", meta.orig_len):
+        if decode_method == "pallas":
+            from .ops.kernels import decode_pallas
+            out = decode_pallas.decode_blocks_pallas(
+                words_d, tables["lim"], tables["base"],
+                tables["first_code"], tables["sorted_syms"],
+                n_out=du, markov=model.markov,
+                fetch_impl=os.environ.get("MHC_FETCH_IMPL", "chunk"))
+        else:
+            n_valid = np.full(R, du, dtype=np.int32)
+            n_valid[-1] = meta.orig_len - (R - 1) * du
+            out = bitpack.decode_blocks(
+                words_d, jnp.asarray(n_valid),
+                tables["lim"], tables["base"], tables["first_code"],
+                tables["sorted_syms"], n_out=du, markov=model.markov)
+        jax.block_until_ready(out)
+    with ph("d2h", meta.orig_len):
+        out_h = np.asarray(out).reshape(-1)[: meta.orig_len]
+        data = out_h.tobytes()
+    with ph("crc32", meta.orig_len):
+        if verify:
+            container.verify_crc(data, meta)
+    if tr is not None:
+        import sys
+        print(f"[mhc-trace decompress] {tr.dumps()}", file=sys.stderr)
     return data
 
 
