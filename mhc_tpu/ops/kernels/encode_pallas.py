@@ -1,0 +1,232 @@
+"""Pallas TPU block-parallel bit-pack (encode) kernel.
+
+The XLA packers hit pathological lowerings (gather-based merge: ~584 GB
+touched per MB; barrel-shifter merge: ~25 ms/MB of masked dense passes).
+This kernel runs the per-lane bit accumulation on-chip like the decode
+kernel runs bit consumption: 1024 unit streams per tile, a 64-bit MSB-
+aligned accumulator per lane, two code appends + one flush round per
+loop iteration.
+
+The flush avoids per-lane scatters entirely: every round writes its word
+to a DENSE row (round index) with a validity flag — a "bubble stream".
+Lanes emit a word on ~50-94%% of rounds (8 bits/sym avg -> ~50%%); XLA
+compacts the bubbles afterwards with one cumsum + one scatter (both fast
+on TPU). Table lookups (prev,cur)->(code,len) also stay in XLA — flat
+gathers measured at ~10 G lookups/s.
+
+All primitives used here were individually verified on the v5e Mosaic
+toolchain (variable per-lane shifts, masked selects, dense dynamic-row
+stores, grid+scratch state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..huffman import MAX_CODE_LEN
+from ..bitpack import words_for_block
+
+LANES = 1024
+CHUNK_STEPS = 256          # symbols per grid chunk (2 appends/round)
+
+
+def _append(a0, a1, cnt, code, ln):
+    """Insert `ln` bits of `code` at bit offset cnt of the 64-bit acc."""
+    for w in range(2):
+        shift = 32 * (w + 1) - cnt - ln            # (8,128) i32
+        left = code << jnp.clip(shift, 0, 31).astype(jnp.uint32)
+        right = code >> jnp.clip(-shift, 0, 31).astype(jnp.uint32)
+        piece = jnp.where(shift >= 0,
+                          jnp.where(shift <= 31, left, 0),
+                          jnp.where(shift >= -31, right, 0))
+        if w == 0:
+            a0 = a0 | piece
+        else:
+            a1 = a1 | piece
+    return a0, a1, cnt + ln
+
+
+def _pack_round(a0, a1, cnt, codes2, lens2):
+    """Two appends + one flush. codes2/lens2: tuple of 2 (8,128) arrays."""
+    for k in range(2):
+        a0, a1, cnt = _append(a0, a1, cnt, codes2[k], lens2[k])
+    emit = cnt >= 32
+    word = a0
+    a0 = jnp.where(emit, a1, a0)
+    a1 = jnp.where(emit, jnp.uint32(0), a1)
+    cnt = cnt - jnp.where(emit, 32, 0)
+    return a0, a1, cnt, word, emit.astype(jnp.int32)
+
+
+def _pack_kernel(codes_ref, lens_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
+                 a0s, a1s, cnts, totals, *, out_chunk: int, n_chunks: int):
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _init():
+        a0s[:] = jnp.zeros((8, 128), jnp.uint32)
+        a1s[:] = jnp.zeros((8, 128), jnp.uint32)
+        cnts[:] = jnp.zeros((8, 128), jnp.int32)
+        totals[:] = jnp.zeros((8, 128), jnp.int32)
+
+    def body(i, carry):
+        a0, a1, cnt, tot = carry
+        c0 = codes_ref[0, 2 * i]
+        c1 = codes_ref[0, 2 * i + 1]
+        l0 = lens_ref[0, 2 * i]
+        l1 = lens_ref[0, 2 * i + 1]
+        a0, a1, cnt, word, valid = _pack_round(
+            a0, a1, cnt, (c0, c1), (l0, l1))
+        bw_ref[0, i] = word
+        bv_ref[0, i] = valid
+        return a0, a1, cnt, tot + l0 + l1
+
+    carry = (a0s[:], a1s[:], cnts[:], totals[:])
+    a0, a1, cnt, tot = jax.lax.fori_loop(0, out_chunk // 2, body, carry)
+    a0s[:] = a0
+    a1s[:] = a1
+    cnts[:] = cnt
+    totals[:] = tot
+
+    @pl.when(o == n_chunks - 1)
+    def _fin():
+        # cnt <= 31 here (flush keeps it below 32); a0 holds the tail bits
+        tail_ref[0] = a0
+        nbits_ref[0] = tot
+
+
+@partial(jax.jit, static_argnames=("max_len", "interpret"))
+def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray,
+                       max_len: int = MAX_CODE_LEN,
+                       interpret: bool = False):
+    """codes/lens: (R, n) per-symbol codes and lengths (0-len = masked).
+
+    Returns (words (R, W) uint32, bits (R,) uint32) — same contract as
+    encode_blocks/encode_blocks_merge given precomputed codes+lens.
+    """
+    R, n = codes.shape
+    W = words_for_block(n, max_len)
+    n_tiles = (R + LANES - 1) // LANES
+    Rp = n_tiles * LANES
+    if Rp != R:
+        codes = jnp.pad(codes, ((0, Rp - R), (0, 0)))
+        lens = jnp.pad(lens, ((0, Rp - R), (0, 0)))
+    n_pad = (n + CHUNK_STEPS - 1) // CHUNK_STEPS * CHUNK_STEPS
+    if n_pad != n:
+        codes = jnp.pad(codes, ((0, 0), (0, n_pad - n)))
+        lens = jnp.pad(lens, ((0, 0), (0, n_pad - n)))
+    n_chunks = n_pad // CHUNK_STEPS
+    # (tiles, steps, 8, 128): step-major so each lane reads dense rows
+    codes4 = jnp.moveaxis(
+        codes.astype(jnp.uint32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
+    lens4 = jnp.moveaxis(
+        lens.astype(jnp.int32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
+
+    n_rounds = n_pad // 2
+    kernel = partial(_pack_kernel, out_chunk=CHUNK_STEPS,
+                     n_chunks=n_chunks)
+    bw, bv, tail, nbits = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, n_rounds, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, n_rounds, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(Rp) * n_pad * 30,
+            bytes_accessed=int(codes4.size) * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(codes4, lens4)
+
+    # XLA compaction: bubble rows -> dense per-unit word streams
+    bwr = jnp.moveaxis(bw, 1, 3).reshape(Rp, n_rounds)
+    bvr = jnp.moveaxis(bv, 1, 3).reshape(Rp, n_rounds)
+    tail_r = tail.reshape(Rp)
+    nbits_r = nbits.reshape(Rp).astype(jnp.uint32)
+    pos = jnp.cumsum(bvr, axis=1) - 1
+    unit_idx = jnp.arange(Rp)[:, None]
+    dump = jnp.int32(W)
+    words = jnp.zeros((Rp, W + 1), jnp.uint32)
+    words = words.at[unit_idx,
+                     jnp.where(bvr > 0, pos, dump)].set(bwr, mode="drop")
+    # append the tail partial word where bits remain
+    nwords = (nbits_r >> 5).astype(jnp.int32)
+    has_tail = (nbits_r & 31) > 0
+    words = words.at[jnp.arange(Rp),
+                     jnp.where(has_tail, nwords, dump)].set(
+        tail_r, mode="drop")
+    return words[:R, :W], nbits_r[:R]
+
+
+def pack_tile_reference(codes_tile: jnp.ndarray, lens_tile: jnp.ndarray):
+    """Pure-jnp mirror of the kernel rounds for ONE (n, 8, 128) tile
+    (step-major). Returns (bubble words (rounds,8,128), valid, tail,
+    nbits) — the correctness oracle for the Mosaic kernel math."""
+    n = codes_tile.shape[0]
+
+    def body(carry, i):
+        a0, a1, cnt, tot = carry
+        a0, a1, cnt, word, valid = _pack_round(
+            a0, a1, cnt,
+            (codes_tile[2 * i], codes_tile[2 * i + 1]),
+            (lens_tile[2 * i], lens_tile[2 * i + 1]))
+        tot = tot + lens_tile[2 * i] + lens_tile[2 * i + 1]
+        return (a0, a1, cnt, tot), (word, valid)
+
+    carry = (jnp.zeros((8, 128), jnp.uint32), jnp.zeros((8, 128), jnp.uint32),
+             jnp.zeros((8, 128), jnp.int32), jnp.zeros((8, 128), jnp.int32))
+    (a0, a1, cnt, tot), (words, valids) = jax.lax.scan(
+        body, carry, jnp.arange(n // 2))
+    return words, valids, a0, tot
+
+
+def compact_bubbles(bwr, bvr, tail_r, nbits_r, W: int):
+    """XLA compaction of bubble rows -> (R, W) dense word streams."""
+    Rp = bwr.shape[0]
+    pos = jnp.cumsum(bvr, axis=1) - 1
+    unit_idx = jnp.arange(Rp)[:, None]
+    dump = jnp.int32(W)
+    words = jnp.zeros((Rp, W + 1), jnp.uint32)
+    words = words.at[unit_idx,
+                     jnp.where(bvr > 0, pos, dump)].set(bwr, mode="drop")
+    nwords = (nbits_r >> 5).astype(jnp.int32)
+    has_tail = (nbits_r & 31) > 0
+    words = words.at[jnp.arange(Rp),
+                     jnp.where(has_tail, nwords, dump)].set(
+        tail_r, mode="drop")
+    return words[:, :W]
