@@ -77,6 +77,20 @@ def build_tables(model, blocks: np.ndarray, n_valid: np.ndarray,
     return tables, np.asarray(lengths, dtype=np.uint8)
 
 
+@jax.jit
+def lookup_codes(units, n_valid, tables):
+    """Per-symbol (code, len) lookup — flat XLA gathers (~10 G/s on TPU)."""
+    data = units.astype(jnp.int32)
+    B, n = data.shape
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), data[:, :-1]], axis=1)
+    lens = tables["lengths"][prev, data]
+    codes = tables["codes"][prev, data].astype(jnp.uint32)
+    valid = jnp.arange(n)[None, :] < n_valid[:, None]
+    return (jnp.where(valid, codes, 0),
+            jnp.where(valid, lens, 0))
+
+
 def resolve_decode_unit(block_size: int, decode_unit: int | None,
                         markov: bool = True) -> int:
     """Clamp the decode unit to the block size; units must divide blocks."""
@@ -131,17 +145,36 @@ def compress(data: bytes, mode: str = "markov",
         tables, lengths_host = build_tables(model, units_d, nv_d,
                                             hist_method)
         jax.block_until_ready(tables["codes"])
-    encode = (bitpack.encode_blocks_merge if pack_method == "merge"
-              else bitpack.encode_blocks)
+    pack_method = os.environ.get("MHC_PACK_METHOD", pack_method)
     with ph("pack", orig_len):
-        words, bits = encode(units_d, nv_d,
-                             tables["codes"], tables["lengths"])
+        if pack_method == "pallas":
+            from .ops.kernels import encode_pallas
+            codes_l, lens_l = lookup_codes(units_d, nv_d, tables)
+            words, bits = encode_pallas.pack_blocks_pallas(codes_l, lens_l)
+        else:
+            encode = (bitpack.encode_blocks_merge if pack_method == "merge"
+                      else bitpack.encode_blocks)
+            words, bits = encode(units_d, nv_d,
+                                 tables["codes"], tables["lengths"])
         jax.block_until_ready(bits)
-    with ph("d2h", int(words.size) * 4):
-        words_h = np.asarray(words)
-        bits_h = np.asarray(bits).astype(np.int64)
-    with ph("marshal", orig_len):
-        payload = bitpack.words_to_payload(words_h, bits_h)
+    if os.environ.get("MHC_DEVICE_COMPACT", "1") != "0":
+        with ph("compact", orig_len):
+            bits_h = np.asarray(bits).astype(np.int64)
+            byte_lens = (bits_h + 7) // 8
+            offsets = np.zeros(len(byte_lens) + 1, np.int32)
+            np.cumsum(byte_lens, out=offsets[1:])
+            total = int(offsets[-1])
+            total_pad = (total + (1 << 20) - 1) // (1 << 20) * (1 << 20)
+            payload_d = bitpack.device_compact_payload(
+                words, jnp.asarray(offsets), max(total_pad, 1 << 20))
+        with ph("d2h", total):
+            payload = np.asarray(payload_d)[:total].tobytes()
+    else:
+        with ph("d2h", int(words.size) * 4):
+            words_h = np.asarray(words)
+            bits_h = np.asarray(bits).astype(np.int64)
+        with ph("marshal", orig_len):
+            payload = bitpack.words_to_payload(words_h, bits_h)
     with ph("container", len(payload)):
         blob = container.build_container(
             model.mode, orig_len, block_size, lengths_host, bits_h,
@@ -172,12 +205,32 @@ def decompress(blob: bytes, verify: bool = True,
         jax.block_until_ready(tables["lim"])
     du = meta.decode_unit or meta.block_size
     W = bitpack.words_for_block(du)
-    with ph("unmarshal", len(blob)):
-        words = container.payload_to_words(blob, meta, W)
-    R = words.shape[0]
-    with ph("h2d", int(words.nbytes)):
-        words_d = jnp.asarray(words)
-        jax.block_until_ready(words_d)
+    if os.environ.get("MHC_DEVICE_COMPACT", "1") != "0":
+        byte_lens = meta.byte_lengths
+        R = len(byte_lens)
+        offsets = np.zeros(R + 1, np.int32)
+        np.cumsum(byte_lens, out=offsets[1:])
+        total = int(offsets[-1])
+        total_pad = max((total + (1 << 20) - 1) // (1 << 20) * (1 << 20),
+                        1 << 20)
+        flat = np.zeros(total_pad, np.uint8)
+        flat[:total] = np.frombuffer(blob, np.uint8, total,
+                                     meta.payload_off)
+        with ph("h2d", total):
+            payload_d = jnp.asarray(flat)
+            jax.block_until_ready(payload_d)
+        with ph("expand", total):
+            words_d = bitpack.device_expand_words(
+                payload_d, jnp.asarray(offsets),
+                jnp.asarray(byte_lens.astype(np.int32)), W)
+            jax.block_until_ready(words_d)
+    else:
+        with ph("unmarshal", len(blob)):
+            words = container.payload_to_words(blob, meta, W)
+        R = words.shape[0]
+        with ph("h2d", int(words.nbytes)):
+            words_d = jnp.asarray(words)
+            jax.block_until_ready(words_d)
     with ph("decode", meta.orig_len):
         if decode_method == "pallas":
             from .ops.kernels import decode_pallas

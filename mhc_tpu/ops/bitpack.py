@@ -220,6 +220,49 @@ def encode_blocks_merge(data: jnp.ndarray, n_valid: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# device-side payload compaction / expansion
+#
+# Host<->device links can be slow (the dev-env axon relay moves ~20-45
+# MB/s); transferring the padded (R, W) word matrices costs ~1.9x the
+# input size. These jits compact the byte-aligned unit streams into one
+# dense payload ON DEVICE (and expand on decode), so only payload-sized
+# buffers cross the link. Offsets are tiny host round-trips.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("total_pad",))
+def device_compact_payload(words: jnp.ndarray, offsets: jnp.ndarray,
+                           total_pad: int) -> jnp.ndarray:
+    """words (R, W) uint32 + byte offsets (R+1,) -> (total_pad,) uint8
+    dense payload (positions past offsets[-1] are zero)."""
+    j = jnp.arange(total_pad)
+    unit = jnp.searchsorted(offsets, j, side="right") - 1
+    unit = jnp.clip(unit, 0, words.shape[0] - 1)
+    pos = j - offsets[unit]
+    word = words[unit, jnp.clip(pos >> 2, 0, words.shape[1] - 1)]
+    byte = (word >> (8 * (3 - (pos & 3))).astype(jnp.uint32)) & 0xFF
+    valid = j < offsets[-1]
+    return jnp.where(valid, byte, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("W",))
+def device_expand_words(payload: jnp.ndarray, offsets: jnp.ndarray,
+                        byte_lens: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Inverse of device_compact_payload: (T,) uint8 payload -> (R, W)
+    uint32 zero-padded word streams."""
+    R = byte_lens.shape[0]
+    T = payload.shape[0]
+    base = offsets[:R, None] + 4 * jnp.arange(W)[None, :]
+    word = jnp.zeros((R, W), jnp.uint32)
+    for k in range(4):
+        bidx = base + k
+        b = payload[jnp.clip(bidx, 0, T - 1)].astype(jnp.uint32)
+        ok = (4 * jnp.arange(W)[None, :] + k) < byte_lens[:, None]
+        word = word | jnp.where(ok, b, 0) << jnp.uint32(8 * (3 - k))
+    return word
+
+
+# ---------------------------------------------------------------------------
 # host-side (numpy) byte/word marshalling
 # ---------------------------------------------------------------------------
 
