@@ -84,8 +84,8 @@ def lookup_codes(units, n_valid, tables):
     B, n = data.shape
     prev = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), data[:, :-1]], axis=1)
-    lens = tables["lengths"][prev, data]
-    codes = tables["codes"][prev, data].astype(jnp.uint32)
+    lens = bitpack._flat_gather(tables["lengths"], prev, data)
+    codes = bitpack._flat_gather(tables["codes"], prev, data).astype(jnp.uint32)
     valid = jnp.arange(n)[None, :] < n_valid[:, None]
     return (jnp.where(valid, codes, 0),
             jnp.where(valid, lens, 0))
@@ -115,6 +115,20 @@ def _tracer():
     return None
 
 
+def _chunk_units(du: int) -> int:
+    """Units per device batch. Chunking bounds HBM/compile size at any
+    input size and lets h2d / compute / d2h overlap (async dispatch)."""
+    mb = int(os.environ.get("MHC_CHUNK_MB", "16"))
+    return max(1, (mb << 20) // du)
+
+
+def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
+    if a.shape[0] == rows:
+        return a
+    pad = np.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
 def compress(data: bytes, mode: str = "markov",
              block_size: int = DEFAULT_BLOCK_SIZE,
              hist_method: str | None = None, crc: bool = True,
@@ -132,52 +146,91 @@ def compress(data: bytes, mode: str = "markov",
     orig_len = len(data)
     with ph("crc32", orig_len):
         checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
-    if units.shape[0] == 0:
+    R = units.shape[0]
+    if R == 0:
         return container.build_container(
             model.mode, 0, block_size,
             np.zeros((256, 256) if model.markov else (256,), np.uint8),
             np.zeros((0,), np.int64), b"", checksum, decode_unit=du)
-    with ph("h2d", units.nbytes):
-        units_d = jnp.asarray(units)
-        nv_d = jnp.asarray(n_valid)
-        jax.block_until_ready(units_d)
-    with ph("tables", orig_len):
-        tables, lengths_host = build_tables(model, units_d, nv_d,
-                                            hist_method)
-        jax.block_until_ready(tables["codes"])
+
+    # Chunked two-pass pipeline. One chunk == one static compile shape;
+    # the last chunk is zero-row-padded (n_valid 0 rows emit no bits, so
+    # containers are byte-identical to the monolithic path).
+    C = min(_chunk_units(du), R)
+    n_chunks = (R + C - 1) // C
+    hist_method = hist_method or _default_hist_method()
     pack_method = os.environ.get("MHC_PACK_METHOD", pack_method)
+    device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
+
+    with ph("h2d", units.nbytes):
+        devs = []
+        for k in range(n_chunks):
+            lo = k * C
+            u = _pad_rows(units[lo:lo + C], C)
+            nv = _pad_rows(n_valid[lo:lo + C], C)
+            devs.append((jnp.asarray(u), jnp.asarray(nv)))
+    with ph("tables", orig_len):
+        counts = None
+        for ud, nvd in devs:
+            c = model.histogram(ud, nvd, method=hist_method)
+            counts = c if counts is None else counts + c
+        lengths = model.lengths_from_counts(np.asarray(counts))
+        tables = model.tables_from_lengths(lengths)
+        lengths_host = np.asarray(lengths, dtype=np.uint8)
+        jax.block_until_ready(tables["codes"])
     with ph("pack", orig_len):
-        if pack_method == "pallas":
-            from .ops.kernels import encode_pallas
-            codes_l, lens_l = lookup_codes(units_d, nv_d, tables)
-            words, bits = encode_pallas.pack_blocks_pallas(codes_l, lens_l)
-        else:
-            encode = (bitpack.encode_blocks_merge if pack_method == "merge"
-                      else bitpack.encode_blocks)
-            words, bits = encode(units_d, nv_d,
-                                 tables["codes"], tables["lengths"])
-        jax.block_until_ready(bits)
-    if os.environ.get("MHC_DEVICE_COMPACT", "1") != "0":
+        packed = []
+        for ud, nvd in devs:
+            if pack_method == "pallas":
+                from .ops.kernels import encode_pallas
+                codes_l, lens_l = lookup_codes(ud, nvd, tables)
+                words, bits = encode_pallas.pack_blocks_pallas(
+                    codes_l, lens_l)
+            else:
+                encode = (bitpack.encode_blocks_merge
+                          if pack_method == "merge"
+                          else bitpack.encode_blocks)
+                words, bits = encode(ud, nvd,
+                                     tables["codes"], tables["lengths"])
+            bits.copy_to_host_async()
+            packed.append((words, bits))
+    bits_parts = []
+    if device_compact:
+        fetched = []
         with ph("compact", orig_len):
-            bits_h = np.asarray(bits).astype(np.int64)
-            byte_lens = (bits_h + 7) // 8
-            offsets = np.zeros(len(byte_lens) + 1, np.int32)
-            np.cumsum(byte_lens, out=offsets[1:])
-            total = int(offsets[-1])
-            total_pad = (total + (1 << 20) - 1) // (1 << 20) * (1 << 20)
-            payload_d = bitpack.device_compact_payload(
-                words, jnp.asarray(offsets), max(total_pad, 1 << 20))
-        with ph("d2h", total):
-            payload = np.asarray(payload_d)[:total].tobytes()
+            pending = []
+            for words, bits in packed:
+                bits_h = np.asarray(bits).astype(np.int64)
+                bits_parts.append(bits_h)
+                byte_lens = (bits_h + 7) // 8
+                offsets = np.zeros(len(byte_lens) + 1, np.int32)
+                np.cumsum(byte_lens, out=offsets[1:])
+                total = int(offsets[-1])
+                total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
+                payload_d = bitpack.device_compact_payload(
+                    words, jnp.asarray(offsets), total_pad)
+                payload_d.copy_to_host_async()
+                pending.append((payload_d, total))
+        with ph("d2h", sum(t for _, t in pending)):
+            for payload_d, total in pending:
+                fetched.append(np.asarray(payload_d)[:total])
+        payload = b"".join(p.tobytes() for p in fetched)
     else:
-        with ph("d2h", int(words.size) * 4):
-            words_h = np.asarray(words)
-            bits_h = np.asarray(bits).astype(np.int64)
+        with ph("d2h", sum(int(w.size) * 4 for w, _ in packed)):
+            parts = []
+            for words, bits in packed:
+                parts.append((np.asarray(words),
+                              np.asarray(bits).astype(np.int64)))
         with ph("marshal", orig_len):
-            payload = bitpack.words_to_payload(words_h, bits_h)
+            chunks = []
+            for words_h, bits_h in parts:
+                bits_parts.append(bits_h)
+                chunks.append(bitpack.words_to_payload(words_h, bits_h))
+            payload = b"".join(chunks)
+    bits_all = np.concatenate(bits_parts)[:R]
     with ph("container", len(payload)):
         blob = container.build_container(
-            model.mode, orig_len, block_size, lengths_host, bits_h,
+            model.mode, orig_len, block_size, lengths_host, bits_all,
             payload, checksum, decode_unit=du)
     if tr is not None:
         import sys
@@ -205,51 +258,63 @@ def decompress(blob: bytes, verify: bool = True,
         jax.block_until_ready(tables["lim"])
     du = meta.decode_unit or meta.block_size
     W = bitpack.words_for_block(du)
-    if os.environ.get("MHC_DEVICE_COMPACT", "1") != "0":
-        byte_lens = meta.byte_lengths
-        R = len(byte_lens)
-        offsets = np.zeros(R + 1, np.int32)
-        np.cumsum(byte_lens, out=offsets[1:])
-        total = int(offsets[-1])
-        total_pad = max((total + (1 << 20) - 1) // (1 << 20) * (1 << 20),
-                        1 << 20)
-        flat = np.zeros(total_pad, np.uint8)
-        flat[:total] = np.frombuffer(blob, np.uint8, total,
-                                     meta.payload_off)
-        with ph("h2d", total):
-            payload_d = jnp.asarray(flat)
-            jax.block_until_ready(payload_d)
-        with ph("expand", total):
-            words_d = bitpack.device_expand_words(
-                payload_d, jnp.asarray(offsets),
-                jnp.asarray(byte_lens.astype(np.int32)), W)
-            jax.block_until_ready(words_d)
-    else:
-        with ph("unmarshal", len(blob)):
-            words = container.payload_to_words(blob, meta, W)
-        R = words.shape[0]
-        with ph("h2d", int(words.nbytes)):
-            words_d = jnp.asarray(words)
-            jax.block_until_ready(words_d)
-    with ph("decode", meta.orig_len):
+    device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
+    byte_lens_all = meta.byte_lengths.astype(np.int64)
+    R = len(byte_lens_all)
+    C = min(_chunk_units(du), R)
+    n_chunks = (R + C - 1) // C
+    starts = np.zeros(R + 1, np.int64)
+    np.cumsum(byte_lens_all, out=starts[1:])
+
+    def _decode(words_d, nv_h):
         if decode_method == "pallas":
             from .ops.kernels import decode_pallas
-            out = decode_pallas.decode_blocks_pallas(
+            return decode_pallas.decode_blocks_pallas(
                 words_d, tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
                 n_out=du, markov=model.markov,
                 fetch_impl=os.environ.get("MHC_FETCH_IMPL", "chunk"))
+        return bitpack.decode_blocks(
+            words_d, jnp.asarray(nv_h),
+            tables["lim"], tables["base"], tables["first_code"],
+            tables["sorted_syms"], n_out=du, markov=model.markov)
+
+    outs = []
+    for k in range(n_chunks):
+        lo = k * C
+        hi = min(lo + C, R)
+        bl = _pad_rows(byte_lens_all[lo:hi].astype(np.int32), C)
+        nv = np.full(C, du, dtype=np.int32)
+        nv[hi - lo:] = 0
+        if hi == R:
+            nv[hi - lo - 1] = meta.orig_len - (R - 1) * du
+        if device_compact:
+            offsets = np.zeros(C + 1, np.int32)
+            np.cumsum(bl, out=offsets[1:])
+            total = int(offsets[-1])
+            total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
+            flat = np.zeros(total_pad, np.uint8)
+            flat[:total] = np.frombuffer(
+                blob, np.uint8, total, meta.payload_off + int(starts[lo]))
+            with ph("h2d", total):
+                payload_d = jnp.asarray(flat)
+            with ph("expand", total):
+                words_d = bitpack.device_expand_words(
+                    payload_d, jnp.asarray(offsets), jnp.asarray(bl), W)
         else:
-            n_valid = np.full(R, du, dtype=np.int32)
-            n_valid[-1] = meta.orig_len - (R - 1) * du
-            out = bitpack.decode_blocks(
-                words_d, jnp.asarray(n_valid),
-                tables["lim"], tables["base"], tables["first_code"],
-                tables["sorted_syms"], n_out=du, markov=model.markov)
-        jax.block_until_ready(out)
+            with ph("unmarshal", int(bl.sum())):
+                words = container.payload_to_words(blob, meta, W,
+                                                   lo=lo, hi=hi)
+                words = _pad_rows(words, C)
+            with ph("h2d", int(words.nbytes)):
+                words_d = jnp.asarray(words)
+        with ph("decode", (hi - lo) * du):
+            out = _decode(words_d, nv)
+            out.copy_to_host_async()
+            outs.append(out)
     with ph("d2h", meta.orig_len):
-        out_h = np.asarray(out).reshape(-1)[: meta.orig_len]
-        data = out_h.tobytes()
+        parts = [np.asarray(o).reshape(-1) for o in outs]
+        data = b"".join(p.tobytes() for p in parts)[: meta.orig_len]
     with ph("crc32", meta.orig_len):
         if verify:
             container.verify_crc(data, meta)

@@ -238,15 +238,19 @@ def split_payload(blob: bytes, meta: ContainerMeta) -> list[bytes]:
     return [blob[offs[i]:offs[i + 1]] for i in range(len(byte_lens))]
 
 
-def payload_to_words(blob: bytes, meta: ContainerMeta, W: int) -> np.ndarray:
+def payload_to_words(blob: bytes, meta: ContainerMeta, W: int,
+                     lo: int = 0, hi: int | None = None) -> np.ndarray:
     """Unit-stream unpacking: payload -> (n_units, W) uint32 (native
-    threaded memcpy via utils/native.py, numpy-mask fallback)."""
+    threaded memcpy via utils/native.py, numpy-mask fallback).
+    [lo, hi) selects a unit range (chunked decode)."""
     from .utils import native
-    n_units = len(meta.byte_lengths)
-    total = int(meta.byte_lengths.sum())
+    byte_lens = meta.byte_lengths[lo:hi]
+    n_units = len(byte_lens)
+    start = int(meta.byte_lengths[:lo].sum())
+    total = int(byte_lens.sum())
     flat = np.frombuffer(
-        blob, np.uint8, count=total, offset=meta.payload_off)
-    buf = native.split_rows(flat, meta.byte_lengths, W * 4)
+        blob, np.uint8, count=total, offset=meta.payload_off + start)
+    buf = native.split_rows(flat, byte_lens, W * 4)
     return buf.view(">u4").astype(np.uint32).reshape(n_units, W)
 
 

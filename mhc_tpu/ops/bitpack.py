@@ -31,6 +31,15 @@ import numpy as np
 from .huffman import MAX_CODE_LEN
 
 
+def _flat_gather(table: jnp.ndarray, prev: jnp.ndarray,
+                 cur: jnp.ndarray) -> jnp.ndarray:
+    """table[(256,256)][prev, cur] as a 1-D gather. The 2-index form makes
+    XLA:TPU relayout the result as [..., 2, 1] with (8,128) tiling — a 64x
+    padding blow-up that OOMs HBM at bench scale; the flat form lowers to a
+    plain dynamic-gather."""
+    return jnp.take(table.reshape(-1), prev * 256 + cur)
+
+
 def words_for_block(block_size: int, max_len: int = MAX_CODE_LEN) -> int:
     """u32 words needed to hold a worst-case encoded block, +1 slack word so
     the straddle scatter and the decode peek never index out of bounds."""
@@ -56,8 +65,8 @@ def encode_blocks(data: jnp.ndarray, n_valid: jnp.ndarray,
 
     prev = jnp.concatenate(
         [jnp.full((B, 1), init_ctx, jnp.int32), data[:, :-1]], axis=1)
-    lens = len_table[prev, data]
-    codes = code_table[prev, data]
+    lens = _flat_gather(len_table, prev, data)
+    codes = _flat_gather(code_table, prev, data)
     pos = jnp.arange(n)[None, :]
     valid = pos < n_valid[:, None]
     lens = jnp.where(valid, lens, 0)
@@ -156,8 +165,8 @@ def encode_blocks_merge(data: jnp.ndarray, n_valid: jnp.ndarray,
 
     prev = jnp.concatenate(
         [jnp.full((B, 1), init_ctx, jnp.int32), data[:, :-1]], axis=1)
-    lens = len_table[prev, data]
-    codes = code_table[prev, data].astype(jnp.uint32)
+    lens = _flat_gather(len_table, prev, data)
+    codes = _flat_gather(code_table, prev, data).astype(jnp.uint32)
     valid = jnp.arange(n)[None, :] < n_valid[:, None]
     lens = jnp.where(valid, lens, 0)
     codes = jnp.where(valid, codes, 0)

@@ -81,3 +81,23 @@ def test_histogram_methods_agree_through_api():
     b1 = api.compress(data, mode="markov", hist_method="scatter")
     b2 = api.compress(data, mode="markov", hist_method="matmul")
     assert b1 == b2  # determinism across histogram backends
+
+
+def test_chunked_pipeline_container_identical(monkeypatch):
+    """Chunked device pipeline (any MHC_CHUNK_MB) must produce containers
+    byte-identical to the monolithic path, for both modes and both payload
+    marshalling paths (device compact on/off)."""
+    data = mixed_binary(3 << 20, seed=11)
+    monkeypatch.setenv("MHC_CHUNK_MB", "64")
+    ref = {m: api.compress(data, mode=m) for m in ("markov", "huffman")}
+    for chunk_mb in ("1", "2"):
+        monkeypatch.setenv("MHC_CHUNK_MB", chunk_mb)
+        for m in ("markov", "huffman"):
+            blob = api.compress(data, mode=m)
+            assert blob == ref[m], (m, chunk_mb)
+            assert api.decompress(blob) == data
+    monkeypatch.setenv("MHC_DEVICE_COMPACT", "0")
+    monkeypatch.setenv("MHC_CHUNK_MB", "1")
+    blob = api.compress(data, mode="markov")
+    assert blob == ref["markov"]
+    assert api.decompress(blob) == data
