@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import zlib
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,12 @@ def _default_hist_method() -> str:
 
 
 def _default_decode_method() -> str:
-    return os.environ.get("MHC_DECODE_METHOD", "scan")
+    env = os.environ.get("MHC_DECODE_METHOD")
+    if env:
+        return env
+    # the Mosaic kernel runs the whole symbol loop on-chip (4x the XLA
+    # scan on v5e); scan is the portable fallback for cpu/gpu backends
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
 
 
 def blockify(data: bytes | np.ndarray, block_size: int):
@@ -84,8 +90,8 @@ def lookup_codes(units, n_valid, tables):
     B, n = data.shape
     prev = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), data[:, :-1]], axis=1)
-    lens = bitpack._flat_gather(tables["lengths"], prev, data)
-    codes = bitpack._flat_gather(tables["codes"], prev, data).astype(jnp.uint32)
+    codes, lens = bitpack._gather_codes_lens(
+        tables["codes"], tables["lengths"], prev, data)
     valid = jnp.arange(n)[None, :] < n_valid[:, None]
     return (jnp.where(valid, codes, 0),
             jnp.where(valid, lens, 0))
@@ -127,6 +133,39 @@ def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
         return a
     pad = np.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)
     return np.concatenate([a, pad], axis=0)
+
+
+def _d2h_sub() -> int:
+    """Device->host transfers are issued as many independent sub-buffers:
+    the transport parallelizes across in-flight buffers (measured ~10x
+    aggregate over a single large copy on the axon relay)."""
+    return int(os.environ.get("MHC_D2H_SUB_MB", "2")) << 20
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _split_flat(x: jnp.ndarray, m: int):
+    """One dispatch -> m equal flat sub-buffers (separate device arrays,
+    so each gets its own async d2h stream)."""
+    x = x.reshape(m, -1)
+    return tuple(x[i] for i in range(m))
+
+
+def _split_count(nbytes: int) -> int:
+    """How many equal sub-buffers to split an nbytes transfer into."""
+    for sub in (_d2h_sub(), 1 << 20, 1 << 19, 1 << 18):
+        if nbytes >= 2 * sub and nbytes % sub == 0:
+            return nbytes // sub
+    return 1
+
+
+def _fetch_subs(x: jnp.ndarray):
+    """Split a device array into sub-buffers and start their d2h copies.
+    Returns the tuple of in-flight device buffers."""
+    flat = x.reshape(-1)
+    subs = _split_flat(flat, _split_count(flat.size * flat.dtype.itemsize))
+    for s in subs:
+        s.copy_to_host_async()
+    return subs
 
 
 def compress(data: bytes, mode: str = "markov",
@@ -174,10 +213,10 @@ def compress(data: bytes, mode: str = "markov",
         for ud, nvd in devs:
             c = model.histogram(ud, nvd, method=hist_method)
             counts = c if counts is None else counts + c
+        counts.copy_to_host_async()   # avoid the slow cold-fetch path
         lengths = model.lengths_from_counts(np.asarray(counts))
         tables = model.tables_from_lengths(lengths)
         lengths_host = np.asarray(lengths, dtype=np.uint8)
-        jax.block_until_ready(tables["codes"])
     with ph("pack", orig_len):
         packed = []
         for ud, nvd in devs:
@@ -195,8 +234,32 @@ def compress(data: bytes, mode: str = "markov",
             bits.copy_to_host_async()
             packed.append((words, bits))
     bits_parts = []
-    if device_compact:
-        fetched = []
+    enc_fetch = os.environ.get(
+        "MHC_ENC_FETCH", "slice" if device_compact else "padded")
+    if enc_fetch == "slice":
+        # Dense device slice to the chunk-max stream width + host-side
+        # native join: no gathers on device, modest extra bytes on the
+        # link, ~20x faster than the on-device byte compaction.
+        from .utils import native
+        with ph("compact", orig_len):
+            pending = []
+            for words, bits in packed:
+                bits_h = np.asarray(bits).astype(np.int64)
+                bits_parts.append(bits_h)
+                byte_lens = (bits_h + 7) // 8
+                wmax = max((int(byte_lens.max()) + 3) // 4, 1) \
+                    if byte_lens.size else 1
+                wmax32 = min(-(-wmax // 32) * 32, words.shape[1])
+                rows_d = bitpack.device_rows_to_bytes(words, wmax32)
+                pending.append((_fetch_subs(rows_d), byte_lens, wmax32))
+        with ph("d2h", sum(int(b.sum()) for _, b, _ in pending)):
+            fetched = []
+            for subs, byte_lens, wmax32 in pending:
+                flat = np.concatenate([np.asarray(s) for s in subs])
+                rows = flat.reshape(-1, wmax32 * 4)
+                fetched.append(native.join_rows(rows, byte_lens))
+        payload = b"".join(fetched)
+    elif enc_fetch == "compact":
         with ph("compact", orig_len):
             pending = []
             for words, bits in packed:
@@ -209,12 +272,13 @@ def compress(data: bytes, mode: str = "markov",
                 total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
                 payload_d = bitpack.device_compact_payload(
                     words, jnp.asarray(offsets), total_pad)
-                payload_d.copy_to_host_async()
-                pending.append((payload_d, total))
+                pending.append((_fetch_subs(payload_d), total))
         with ph("d2h", sum(t for _, t in pending)):
-            for payload_d, total in pending:
-                fetched.append(np.asarray(payload_d)[:total])
-        payload = b"".join(p.tobytes() for p in fetched)
+            fetched = []
+            for subs, total in pending:
+                buf = b"".join(np.asarray(s).tobytes() for s in subs)
+                fetched.append(buf[:total])
+        payload = b"".join(fetched)
     else:
         with ph("d2h", sum(int(w.size) * 4 for w, _ in packed)):
             parts = []
@@ -310,11 +374,10 @@ def decompress(blob: bytes, verify: bool = True,
                 words_d = jnp.asarray(words)
         with ph("decode", (hi - lo) * du):
             out = _decode(words_d, nv)
-            out.copy_to_host_async()
-            outs.append(out)
+            outs.append(_fetch_subs(out))
     with ph("d2h", meta.orig_len):
-        parts = [np.asarray(o).reshape(-1) for o in outs]
-        data = b"".join(p.tobytes() for p in parts)[: meta.orig_len]
+        data = b"".join(np.asarray(s).tobytes()
+                        for subs in outs for s in subs)[: meta.orig_len]
     with ph("crc32", meta.orig_len):
         if verify:
             container.verify_crc(data, meta)

@@ -31,10 +31,18 @@ class EntropyModel:
             return histogram.histogram_markov(blocks, n_valid, method=method)
         return histogram.histogram_order0(blocks, n_valid, method=method)
 
-    def lengths_from_counts(self, counts: np.ndarray) -> jnp.ndarray:
-        """Deterministic code lengths (host-rescaled, device-built)."""
+    def lengths_from_counts(self, counts: np.ndarray):
+        """Deterministic code lengths. Host C++ builder by default (1 ms
+        for all 256 contexts vs ~10 device dispatch round-trips for the
+        JAX twin); MHC_TABLE_BUILD=device selects the on-chip builder
+        (same bits — the builders are tested identical; the sharded
+        pipeline always builds on device after its psum)."""
+        import os
         scaled = huffman.rescale_counts(np.asarray(counts))
-        return huffman.code_lengths(jnp.asarray(scaled))
+        if os.environ.get("MHC_TABLE_BUILD", "host") == "device":
+            return huffman.code_lengths(jnp.asarray(scaled))
+        from ..utils import native
+        return native.code_lengths(scaled, huffman.MAX_CODE_LEN)
 
     def tables_from_lengths(self, lengths) -> dict:
         """Full encode+decode table set in unified (256, ...) layout."""

@@ -43,8 +43,11 @@ def _load():
             lib.mhc_split.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.mhc_code_lengths.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p]
             lib.mhc_version.restype = ctypes.c_int
-            if lib.mhc_version() == 1:
+            if lib.mhc_version() == 2:
                 _lib = lib
         except OSError:
             _lib = None
@@ -72,6 +75,23 @@ def join_rows(rows: np.ndarray, lens: np.ndarray) -> bytes:
     lib.mhc_join(rows.ctypes.data, R, S, lens.ctypes.data,
                  offsets.ctypes.data, out.ctypes.data)
     return out.tobytes()
+
+
+def code_lengths(scaled_counts: np.ndarray, max_len: int) -> np.ndarray:
+    """Huffman code lengths for (nctx, 256) pre-rescaled counts — the
+    native twin of ops/huffman.code_lengths (bit-identical, tested).
+    Falls back to the numpy builder when the .so is absent."""
+    counts = np.ascontiguousarray(scaled_counts, dtype=np.int32)
+    flat = counts.reshape(-1, 256)
+    lib = _load()
+    if lib is None:
+        from ..ops import huffman
+        rows = [huffman.code_lengths_np(row, max_len) for row in flat]
+        return np.stack(rows).reshape(scaled_counts.shape).astype(np.uint8)
+    out = np.empty(flat.shape, dtype=np.uint8)
+    lib.mhc_code_lengths(flat.ctypes.data, flat.shape[0], max_len,
+                         out.ctypes.data)
+    return out.reshape(scaled_counts.shape)
 
 
 def split_rows(payload, lens: np.ndarray, stride: int) -> np.ndarray:
