@@ -28,13 +28,15 @@ from .models.entropy import get_model
 from .ops import bitpack
 
 DEFAULT_BLOCK_SIZE = 64 * 1024
-# Sequential decode length per lane. Smaller units = more decode lanes and
-# fewer sequential steps at ~2 bits/unit packed-index overhead; 2 KB keeps
-# markov overhead ~0.1% while cutting the per-lane scan 32x vs 64 KB
-# blocks. Order-0 decode amortizes its (context-free, loop-invariant)
+# Sequential decode length per lane. Smaller units = more decode lanes
+# and fewer sequential steps, but each unit costs index bytes and a
+# context reset; 4 KB is the sweet spot that keeps the markov container
+# under the reference oracle (with entropy-coded tables/index) while the
+# Pallas decoder's per-tile stream buffer (1024 lanes * W words) still
+# fits VMEM. Order-0 decode amortizes its (context-free, loop-invariant)
 # table fetch over the whole unit, so longer units cost little speed and
-# keep the container under the reference oracle's size.
-DEFAULT_DECODE_UNIT = 2048
+# minimize index overhead (the scan decoder handles the larger W).
+DEFAULT_DECODE_UNIT = 4096
 DEFAULT_DECODE_UNIT_ORDER0 = 16384
 
 
@@ -322,6 +324,11 @@ def decompress(blob: bytes, verify: bool = True,
         jax.block_until_ready(tables["lim"])
     du = meta.decode_unit or meta.block_size
     W = bitpack.words_for_block(du)
+    if decode_method == "pallas" and W * 4 * 1024 > (9 << 20):
+        # the Mosaic kernel keeps each tile's full (1024, W) u32 stream
+        # buffer in VMEM (~16 MB/core); beyond ~9 MB fall back to the XLA
+        # scan decoder rather than fail the compile
+        decode_method = "scan"
     device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
     byte_lens_all = meta.byte_lengths.astype(np.int64)
     R = len(byte_lens_all)

@@ -55,6 +55,59 @@ MODE_MARKOV = 1
 FLAG_CRC32 = 1
 FLAG_SUBSTREAMS = 2
 FLAG_PACKED_INDEX = 4
+FLAG_GROUPED_INDEX = 8
+FLAG_PACKED_TABLES = 16   # table nibbles entropy-coded (markov only)
+FLAG_ENTROPY_INDEX = 32   # unit index entropy-coded
+
+INDEX_GROUP = 512  # units per index group (each group: own base + nbits)
+
+
+# ---------------------------------------------------------------------------
+# tiny order-0 canonical entropy codec for metadata sections. The table
+# nibbles and index residual bytes are low-entropy (2.5-7 bits/symbol);
+# coding them with their own canonical Huffman code (lengths-only header)
+# recovers ~25-40 KB per 100 MB container — the margin that keeps the
+# block-parallel format under the reference oracle's size. Decode is
+# native (utils/native.py mhc_entropy_decode) with a python fallback.
+# ---------------------------------------------------------------------------
+
+def entropy_encode(symbols: np.ndarray, alphabet: int):
+    """symbols (n,) uint8 < alphabet -> (lengths uint8[alphabet], coded
+    bytes). Canonical order-0 Huffman, MSB-first, max code length 15."""
+    from .ops.canonical import canonical_codes_np
+    from .utils import native
+    syms = np.asarray(symbols, np.uint8)
+    counts = np.bincount(syms, minlength=alphabet).astype(np.int64)
+    full = np.zeros(256, np.int64)
+    full[:alphabet] = counts
+    lengths = native.code_lengths(
+        full[None, :].astype(np.int32), 15)[0]
+    t = canonical_codes_np(lengths.astype(np.int64))
+    codes = t["codes"].astype(np.int64)
+    lens = lengths.astype(np.int64)
+    sl = lens[syms]
+    sc = codes[syms]
+    if syms.size == 0:
+        return lengths[:alphabet].astype(np.uint8), b""
+    offs = np.cumsum(sl) - sl
+    total_bits = int(offs[-1] + sl[-1])
+    W = (total_bits + 31) // 32 + 1
+    words = np.zeros(W, np.int64)
+    w0 = offs >> 5
+    s = offs & 31
+    left = 32 - s - sl
+    part0 = np.where(left >= 0, sc << np.maximum(left, 0),
+                     sc >> np.maximum(-left, 0))
+    part1 = np.where(left < 0, sc << (32 + np.minimum(left, 0)), 0)
+    np.add.at(words, w0, part0 & 0xFFFFFFFF)
+    np.add.at(words, w0 + 1, part1 & 0xFFFFFFFF)
+    raw = (words & 0xFFFFFFFF).astype(">u4").tobytes()
+    return lengths[:alphabet].astype(np.uint8), raw[: (total_bits + 7) // 8]
+
+
+def entropy_decode(coded: bytes, lengths: np.ndarray, n_out: int):
+    from .utils import native
+    return native.entropy_decode(coded, lengths, n_out)
 
 _HEADER = struct.Struct("<4sBBBBQII")
 
@@ -101,19 +154,96 @@ def serialize_tables(mode: int, lengths: np.ndarray) -> bytes:
     return bitmap + rows
 
 
-def parse_tables(mode: int, raw: bytes, off: int):
+def serialize_tables_packed(lengths: np.ndarray) -> bytes:
+    """Markov tables with the 256*npresent code-length nibbles entropy-
+    coded: bitmap(32) + nibble-code lengths (8B, nibble-packed) + coded
+    stream. ~2x smaller than raw nibbles on typical corpora."""
+    rows = lengths.reshape(256, 256)
+    present = (rows > 0).any(axis=1)
+    bitmap = np.packbits(present, bitorder="little").tobytes()
+    nib = rows[present].reshape(-1)
+    code_lens, coded = entropy_encode(nib, 16)
+    return bitmap + pack_nibbles(code_lens) + coded
+
+
+def parse_tables(mode: int, raw: bytes, off: int, packed: bool = False):
     if mode == MODE_ORDER0:
+        if len(raw) < off + 128:
+            raise ValueError("mhc: truncated container (order-0 table)")
         lengths = unpack_nibbles(raw[off:off + 128], (256,))
         return lengths, off + 128
+    if len(raw) < off + 32:
+        raise ValueError("mhc: truncated container (context bitmap)")
     bitmap = np.frombuffer(raw[off:off + 32], dtype=np.uint8)
     present = np.unpackbits(bitmap, bitorder="little").astype(bool)
     off += 32
     npresent = int(present.sum())
+    lengths = np.zeros((256, 256), dtype=np.uint8)
+    if packed:
+        if len(raw) < off + 8:
+            raise ValueError("mhc: truncated container (table code lens)")
+        code_lens = unpack_nibbles(raw[off:off + 8], (16,))
+        off += 8
+        nib, used = entropy_decode(raw[off:], code_lens, 256 * npresent)
+        if np.any(nib >= 16):
+            raise ValueError("mhc: corrupt packed table section")
+        off += used
+        lengths[present] = nib.reshape(npresent, 256)
+        return lengths, off
+    if len(raw) < off + 128 * npresent:
+        raise ValueError("mhc: truncated container (markov tables)")
     rows = unpack_nibbles(raw[off:off + 128 * npresent], (npresent, 256))
     off += 128 * npresent
-    lengths = np.zeros((256, 256), dtype=np.uint8)
     lengths[present] = rows
     return lengths, off
+
+
+def pack_index_entropy(byte_lens: np.ndarray) -> bytes:
+    """Entropy-coded unit index: u16 base + flags byte, then the residual
+    low bytes (and high bytes when any residual >= 256) each as an
+    entropy-coded stream with a 128 B lengths header."""
+    lens = np.asarray(byte_lens, np.int64)
+    base = int(lens.min()) if lens.size else 0
+    resid = lens - base
+    has_hi = int(resid.max()) >= 256 if lens.size else False
+    parts = [struct.pack("<HB", base, 1 if has_hi else 0)]
+    lo_lens, lo_coded = entropy_encode((resid & 255).astype(np.uint8), 256)
+    parts += [pack_nibbles(lo_lens), struct.pack("<I", len(lo_coded)),
+              lo_coded]
+    if has_hi:
+        hi_lens, hi_coded = entropy_encode((resid >> 8).astype(np.uint8),
+                                           256)
+        parts += [pack_nibbles(hi_lens), struct.pack("<I", len(hi_coded)),
+                  hi_coded]
+    return b"".join(parts)
+
+
+def unpack_index_entropy(raw: bytes, off: int, n_units: int):
+    if len(raw) < off + 3:
+        raise ValueError("mhc: truncated container (entropy index header)")
+    base, has_hi = struct.unpack_from("<HB", raw, off)
+    off += 3
+
+    def stream(off):
+        if len(raw) < off + 132:
+            raise ValueError("mhc: truncated container (entropy index)")
+        code_lens = unpack_nibbles(raw[off:off + 128], (256,))
+        off += 128
+        (nb,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        if len(raw) < off + nb:
+            raise ValueError("mhc: truncated container (entropy index)")
+        syms, used = entropy_decode(raw[off:off + nb], code_lens, n_units)
+        if used > nb:
+            raise ValueError("mhc: corrupt entropy index")
+        return syms.astype(np.int64), off + nb
+
+    lo, off = stream(off)
+    out = base + lo
+    if has_hi:
+        hi, off = stream(off)
+        out = out + (hi << 8)
+    return out, off
 
 
 def pack_index(byte_lens: np.ndarray) -> bytes:
@@ -132,6 +262,56 @@ def pack_index(byte_lens: np.ndarray) -> bytes:
         return head
     bits = ((resid[:, None] >> np.arange(nbits)[None, :]) & 1).astype(np.uint8)
     return head + np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def pack_index_grouped(byte_lens: np.ndarray, group: int = INDEX_GROUP) -> bytes:
+    """Grouped packed index: per-group u16 base + u8 nbits + byte-aligned
+    nbits-per-unit residuals. Unit stream lengths cluster by content
+    region (text vs binary vs noise), so per-group parameters beat one
+    global (base, nbits) pair on mixed corpora by ~2x."""
+    lens = np.asarray(byte_lens, np.int64)
+    parts = [struct.pack("<I", group)]
+    for g in range(0, lens.size, group):
+        gl = lens[g:g + group]
+        base = int(gl.min())
+        resid = gl - base
+        nbits = int(resid.max()).bit_length()
+        parts.append(struct.pack("<HB", base, nbits))
+        if nbits:
+            bits = ((resid[:, None] >> np.arange(nbits)[None, :]) & 1)
+            parts.append(np.packbits(bits.reshape(-1).astype(np.uint8),
+                                     bitorder="little").tobytes())
+    return b"".join(parts)
+
+
+def unpack_index_grouped(raw: bytes, off: int, n_units: int):
+    """Inverse of pack_index_grouped. Returns (byte_lengths int64, off)."""
+    if len(raw) < off + 4:
+        raise ValueError("mhc: truncated container (grouped index header)")
+    (group,) = struct.unpack_from("<I", raw, off)
+    off += 4
+    if not (0 < group <= 1 << 24):
+        raise ValueError("mhc: corrupt grouped index (bad group size)")
+    out = np.empty(n_units, np.int64)
+    for g in range(0, n_units, group):
+        gn = min(group, n_units - g)
+        if len(raw) < off + 3:
+            raise ValueError("mhc: truncated container (index group)")
+        base, nbits = struct.unpack_from("<HB", raw, off)
+        off += 3
+        if nbits == 0:
+            out[g:g + gn] = base
+            continue
+        nbytes = (gn * nbits + 7) // 8
+        if len(raw) < off + nbytes:
+            raise ValueError("mhc: truncated container (index group bits)")
+        bits = np.unpackbits(np.frombuffer(raw, np.uint8, nbytes, off),
+                             bitorder="little")[: gn * nbits]
+        out[g:g + gn] = base + (
+            bits.reshape(gn, nbits).astype(np.int64)
+            << np.arange(nbits)[None, :]).sum(axis=1)
+        off += nbytes
+    return out, off
 
 
 def unpack_index(raw: bytes, off: int, n_units: int):
@@ -165,14 +345,24 @@ def build_container(mode: int, orig_len: int, block_size: int,
         du_log2 = decode_unit.bit_length() - 1
         assert (1 << du_log2) == decode_unit, "decode_unit must be pow2"
         n_blocks = (orig_len + block_size - 1) // block_size
-        index = pack_index((np.asarray(bit_lengths, np.int64) + 7) // 8)
+        byte_lens = (np.asarray(bit_lengths, np.int64) + 7) // 8
+        variants = [(pack_index(byte_lens), 0),
+                    (pack_index_grouped(byte_lens), FLAG_GROUPED_INDEX),
+                    (pack_index_entropy(byte_lens), FLAG_ENTROPY_INDEX)]
+        index, extra = min(variants, key=lambda v: len(v[0]))
+        flags |= extra
     else:
         du_log2 = 0
         n_blocks = len(bit_lengths)
         index = np.asarray(bit_lengths, dtype="<u4").tobytes()
+    tables = serialize_tables(mode, lengths)
+    if mode == MODE_MARKOV:
+        packed_tables = serialize_tables_packed(lengths)
+        if len(packed_tables) < len(tables):
+            tables = packed_tables
+            flags |= FLAG_PACKED_TABLES
     head = _HEADER.pack(MAGIC, VERSION, mode, flags, du_log2,
                         orig_len, block_size, n_blocks)
-    tables = serialize_tables(mode, lengths)
     parts = [head, tables, index, payload]
     if crc is not None:
         parts.append(struct.pack("<I", crc & 0xFFFFFFFF))
@@ -191,13 +381,18 @@ def parse_container(blob: bytes) -> ContainerMeta:
     if mode not in (MODE_ORDER0, MODE_MARKOV):
         raise ValueError(f"mhc: unknown mode {mode}")
     off = _HEADER.size
-    lengths, off = parse_tables(mode, blob, off)
+    lengths, off = parse_tables(mode, blob, off,
+                                packed=bool(flags & FLAG_PACKED_TABLES))
     idx_start = off
     if flags & FLAG_SUBSTREAMS:
         decode_unit = 1 << du_log2
         n_units = (orig_len + decode_unit - 1) // decode_unit
         bit_lengths = np.zeros((0,), np.int64)
-        if flags & FLAG_PACKED_INDEX:
+        if flags & FLAG_ENTROPY_INDEX:
+            byte_lengths, off = unpack_index_entropy(blob, off, n_units)
+        elif flags & FLAG_GROUPED_INDEX:
+            byte_lengths, off = unpack_index_grouped(blob, off, n_units)
+        elif flags & FLAG_PACKED_INDEX:
             byte_lengths, off = unpack_index(blob, off, n_units)
         else:
             idx_bytes = 2 * n_units

@@ -46,8 +46,30 @@ def _load():
             lib.mhc_code_lengths.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_void_p]
+            lib.mhc_hist_markov.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p]
+            lib.mhc_hist_order0.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mhc_build_enc_table.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mhc_encode_units.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mhc_build_dec_lut.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mhc_decode_units.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+            lib.mhc_entropy_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+            lib.mhc_entropy_decode.restype = ctypes.c_int64
+            lib.mhc_codec_version.restype = ctypes.c_int
             lib.mhc_version.restype = ctypes.c_int
-            if lib.mhc_version() == 2:
+            if lib.mhc_version() == 2 and lib.mhc_codec_version() == 3:
                 _lib = lib
         except OSError:
             _lib = None
@@ -92,6 +114,136 @@ def code_lengths(scaled_counts: np.ndarray, max_len: int) -> np.ndarray:
     lib.mhc_code_lengths(flat.ctypes.data, flat.shape[0], max_len,
                          out.ctypes.data)
     return out.reshape(scaled_counts.shape)
+
+
+def entropy_decode(coded: bytes, lengths: np.ndarray, n_out: int):
+    """Decode n_out symbols of a canonical order-0 stream (container
+    metadata sections). Returns (symbols uint8, bytes_consumed).
+    Native LUT decoder with a pure-python fallback."""
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8)
+    A = lens.shape[0]
+    src = np.frombuffer(coded, dtype=np.uint8)
+    out = np.empty(n_out, dtype=np.uint8)
+    if n_out == 0:
+        return out, 0
+    lib = _load()
+    if lib is not None:
+        used = lib.mhc_entropy_decode(src.ctypes.data, src.size,
+                                      lens.ctypes.data, A, n_out,
+                                      out.ctypes.data)
+        if used < 0:
+            raise ValueError("mhc: corrupt entropy-coded section")
+        return out, int(used)
+    # python fallback: canonical decode with a 15-bit LUT
+    from ..ops.canonical import canonical_codes_np
+    full = np.zeros(256, np.int64)
+    full[:A] = lens
+    t = canonical_codes_np(full)
+    codes, ls = t["codes"].astype(np.int64), full
+    lut_sym = np.zeros(1 << 15, np.uint8)
+    lut_len = np.zeros(1 << 15, np.uint8)
+    for s in range(A):
+        if ls[s] == 0:
+            continue
+        a = int(codes[s]) << (15 - int(ls[s]))
+        b = (int(codes[s]) + 1) << (15 - int(ls[s]))
+        lut_sym[a:b] = s
+        lut_len[a:b] = ls[s]
+    acc = 0
+    nbits = 0
+    pos = 0
+    bits_used = 0
+    nb = src.size
+    for i in range(n_out):
+        while nbits <= 56:
+            acc = (acc | (int(src[pos]) if pos < nb else 0) << (56 - nbits)) \
+                & ((1 << 64) - 1)
+            pos += 1
+            nbits += 8
+        w = acc >> (64 - 15)
+        l = int(lut_len[w])
+        if l == 0:
+            raise ValueError("mhc: corrupt entropy-coded section")
+        out[i] = lut_sym[w]
+        acc = (acc << l) & ((1 << 64) - 1)
+        nbits -= l
+        bits_used += l
+    return out, (bits_used + 7) // 8
+
+
+def hist_markov(data: np.ndarray, unit: int) -> np.ndarray | None:
+    """Threaded (256,256) markov histogram with per-unit context reset.
+    Returns None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(data, dtype=np.uint8)
+    counts = np.zeros(256 * 256, np.int64)
+    lib.mhc_hist_markov(d.ctypes.data, d.size, unit, counts.ctypes.data)
+    return counts.reshape(256, 256)
+
+
+def hist_order0(data: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(data, dtype=np.uint8)
+    counts = np.zeros(256, np.int64)
+    lib.mhc_hist_order0(d.ctypes.data, d.size, counts.ctypes.data)
+    return counts
+
+
+def build_enc_table(lengths: np.ndarray) -> np.ndarray | None:
+    """(nctx, 256) lengths -> (nctx, 256) packed u32 (len<<16 | code)."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8).reshape(-1, 256)
+    packed = np.empty(lens.shape, np.uint32)
+    lib.mhc_build_enc_table(lens.ctypes.data, lens.shape[0],
+                            packed.ctypes.data)
+    return packed
+
+
+def encode_units(data: np.ndarray, unit: int, packed: np.ndarray,
+                 markov: bool, row_stride: int):
+    """Encode ceil(n/unit) unit streams. Returns (rows, byte_lens)."""
+    lib = _load()
+    d = np.ascontiguousarray(data, dtype=np.uint8)
+    n_units = (d.size + unit - 1) // unit
+    rows = np.empty((n_units, row_stride), np.uint8)
+    byte_lens = np.empty(n_units, np.int64)
+    lib.mhc_encode_units(d.ctypes.data, d.size, unit, n_units,
+                         np.ascontiguousarray(packed, np.uint32).ctypes.data,
+                         1 if markov else 0, rows.ctypes.data, row_stride,
+                         byte_lens.ctypes.data)
+    return rows, byte_lens
+
+
+def build_dec_lut(lengths: np.ndarray) -> np.ndarray | None:
+    """(nctx, 256) lengths -> (nctx, 2^15) u16 LUT (sym | len<<8)."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8).reshape(-1, 256)
+    lut = np.empty((lens.shape[0], 1 << 15), np.uint16)
+    lib.mhc_build_dec_lut(lens.ctypes.data, lens.shape[0], lut.ctypes.data)
+    return lut
+
+
+def decode_units(payload: np.ndarray, offsets: np.ndarray,
+                 byte_lens: np.ndarray, unit: int, n_total: int,
+                 lut: np.ndarray, markov: bool, out: np.ndarray) -> None:
+    """Decode unit streams into `out` (preallocated, n_units*unit... view).
+    out[u*unit : u*unit+m) receives unit u's bytes."""
+    lib = _load()
+    n_units = len(byte_lens)
+    lib.mhc_decode_units(
+        np.ascontiguousarray(payload, np.uint8).ctypes.data,
+        np.ascontiguousarray(offsets, np.int64).ctypes.data,
+        np.ascontiguousarray(byte_lens, np.int64).ctypes.data,
+        n_units, unit, n_total, lut.ctypes.data, 1 if markov else 0,
+        out.ctypes.data)
 
 
 def split_rows(payload, lens: np.ndarray, stride: int) -> np.ndarray:
