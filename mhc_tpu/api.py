@@ -323,15 +323,28 @@ def decompress(blob: bytes, verify: bool = True,
             jnp.asarray(meta.lengths, jnp.int32))
         jax.block_until_ready(tables["lim"])
     du = meta.decode_unit or meta.block_size
-    W = bitpack.words_for_block(du)
-    if decode_method == "pallas" and W * 4 * 1024 > (9 << 20):
-        # the Mosaic kernel keeps each tile's full (1024, W) u32 stream
-        # buffer in VMEM (~16 MB/core); beyond ~9 MB fall back to the XLA
-        # scan decoder rather than fail the compile
-        decode_method = "scan"
     device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
     byte_lens_all = meta.byte_lengths.astype(np.int64)
     R = len(byte_lens_all)
+    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "chunk")
+    # Stream buffer width: the worst case (15 bits/symbol) pads every unit
+    # to ~1.9x the decode unit, but the Mosaic kernel keeps the whole
+    # (8, 128, W) tile stream in VMEM — size it by the container's actual
+    # max stream length (rounded to the kernel's 128-word lanes so one
+    # compile covers all chunks) and keep the worst case only as a cap.
+    W_worst = bitpack.words_for_block(du)
+    max_bl = int(byte_lens_all.max()) if R else 0
+    W = min(W_worst, max(-(-(-(-max_bl // 4) + 1) // 128) * 128, 128))
+    if decode_method == "pallas":
+        from .ops.kernels import decode_pallas
+        # real scoped-VMEM accounting (round 1's 9 MB heuristic ignored
+        # the output buffers / fetch table and killed the bench compile)
+        n_tiles = -(-min(_chunk_units(du), max(R, 1))
+                    // decode_pallas.LANES)
+        if decode_pallas.vmem_bytes(W, fetch_impl=fetch_impl,
+                                    n_tiles=n_tiles, n_out=du) \
+                > decode_pallas.VMEM_BUDGET:
+            decode_method = "scan"
     C = min(_chunk_units(du), R)
     n_chunks = (R + C - 1) // C
     starts = np.zeros(R + 1, np.int64)
@@ -343,8 +356,7 @@ def decompress(blob: bytes, verify: bool = True,
             return decode_pallas.decode_blocks_pallas(
                 words_d, tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
-                n_out=du, markov=model.markov,
-                fetch_impl=os.environ.get("MHC_FETCH_IMPL", "chunk"))
+                n_out=du, markov=model.markov, fetch_impl=fetch_impl)
         return bitpack.decode_blocks(
             words_d, jnp.asarray(nv_h),
             tables["lim"], tables["base"], tables["first_code"],
@@ -433,19 +445,48 @@ def compress_file(in_path: str, out_path: str, mode: str = "markov",
             "n_segments": n_segments}
 
 
+def _next_segment(f, buf: bytes) -> tuple[bytes | None, bytes]:
+    """Read exactly one container from file f (with `buf` carry-over from
+    the previous read). Returns (segment bytes or None at EOF, new carry).
+    Memory is bounded by one segment — never the whole file."""
+    if not buf:
+        buf = f.read(1 << 18)
+        if not buf:
+            return None, b""
+    while True:
+        try:
+            meta = container.parse_container(buf, head_only=True)
+            break
+        except ValueError as e:
+            if "truncated" not in str(e):
+                raise
+            more = f.read(max(len(buf), 1 << 18))
+            if not more:
+                raise
+            buf += more
+    size = container.container_size(meta)
+    if len(buf) < size:
+        rest = f.read(size - len(buf))
+        if len(rest) != size - len(buf):
+            raise ValueError("mhc: truncated container (payload)")
+        return buf + rest, b""
+    return buf[:size], buf[size:]
+
+
 def decompress_file(in_path: str, out_path: str, verify: bool = True,
-                    decode_method: str = "scan",
+                    decode_method: str | None = None,
                     sharded: bool = False, mesh=None) -> dict:
-    """Streaming decompression of a (possibly segment-chained) file."""
-    blob = open(in_path, "rb").read()
+    """Streaming decompression of a (possibly segment-chained) file.
+    Segments are read and decoded one at a time (constant memory in the
+    number of segments — round 1 buffered the entire file)."""
     total_out = 0
     n_segments = 0
-    off = 0
-    with open(out_path, "wb") as out:
-        while off < len(blob):
-            meta = container.parse_container(blob[off:])
-            size = container.container_size(meta)
-            seg = blob[off:off + size]
+    with open(in_path, "rb") as f, open(out_path, "wb") as out:
+        carry = b""
+        while True:
+            seg, carry = _next_segment(f, carry)
+            if seg is None:
+                break
             if sharded:
                 from .parallel import pipeline
                 data = pipeline.decompress_sharded(seg, mesh, verify=verify)
@@ -455,7 +496,6 @@ def decompress_file(in_path: str, out_path: str, verify: bool = True,
             out.write(data)
             total_out += len(data)
             n_segments += 1
-            off += size
     return {"orig_bytes": total_out, "n_segments": n_segments}
 
 

@@ -55,8 +55,9 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("output")
     pd.add_argument("--no-verify", action="store_true")
-    pd.add_argument("--decode-method", default="scan",
-                    choices=["scan", "pallas"])
+    pd.add_argument("--decode-method", default=None,
+                    choices=["scan", "pallas"],
+                    help="default: pallas on TPU, scan elsewhere")
     pd.add_argument("--sharded", action="store_true")
     pd.add_argument("--distributed", action="store_true")
     pd.add_argument("--report", action="store_true")
@@ -118,13 +119,22 @@ def _run(args, api, container) -> int:
     if args.cmd == "stat":
         blob = open(args.input, "rb").read()
         meta = container.parse_container(blob)
+        # byte_lengths covers both layouts (the default sub-stream layout
+        # leaves bit_lengths empty — round-1 stat reported 0 payload)
+        payload = int(meta.byte_lengths.sum())
         print(json.dumps({
             "mode": "markov" if meta.mode == container.MODE_MARKOV else "huffman",
             "orig_len": meta.orig_len,
             "block_size": meta.block_size,
+            "decode_unit": meta.decode_unit or meta.block_size,
             "n_blocks": meta.n_blocks,
+            "n_units": len(meta.byte_lengths),
             "crc32": meta.crc32,
-            "payload_bytes": int(((meta.bit_lengths + 7) // 8).sum()),
+            "payload_bytes": payload,
+            "index_bytes": meta.index_bytes,
+            "table_bytes": meta.payload_off - 24 - meta.index_bytes,
+            "header_bytes": 24,
+            "container_bytes": container.container_size(meta),
         }))
         return 0
     return 1

@@ -369,7 +369,11 @@ def build_container(mode: int, orig_len: int, block_size: int,
     return b"".join(parts)
 
 
-def parse_container(blob: bytes) -> ContainerMeta:
+def parse_container(blob: bytes, head_only: bool = False) -> ContainerMeta:
+    """Parse a container. With head_only=True, `blob` need only cover the
+    header + tables + index (the payload may be absent); the returned
+    meta has crc32=None but container_size() is exact — this is what lets
+    decompress_file stream segment-by-segment without a full-file read."""
     if len(blob) < _HEADER.size:
         raise ValueError("mhc: truncated container (no header)")
     magic, version, mode, flags, du_log2, orig_len, block_size, n_blocks = \
@@ -414,12 +418,13 @@ def parse_container(blob: bytes) -> ContainerMeta:
     payload_len = int(byte_lengths.sum())
     crc = None
     tail = off + payload_len
-    if flags & FLAG_CRC32:
-        if len(blob) < tail + 4:
-            raise ValueError("mhc: truncated container (crc trailer)")
-        crc = struct.unpack_from("<I", blob, tail)[0]
-    if len(blob) < tail:
-        raise ValueError("mhc: truncated container (payload)")
+    if not head_only:
+        if flags & FLAG_CRC32:
+            if len(blob) < tail + 4:
+                raise ValueError("mhc: truncated container (crc trailer)")
+            crc = struct.unpack_from("<I", blob, tail)[0]
+        if len(blob) < tail:
+            raise ValueError("mhc: truncated container (payload)")
     return ContainerMeta(mode=mode, orig_len=orig_len, block_size=block_size,
                          n_blocks=n_blocks, flags=flags,
                          decode_unit=decode_unit, lengths=lengths,

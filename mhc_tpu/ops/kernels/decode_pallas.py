@@ -45,6 +45,31 @@ from ..bitpack import words_for_block
 LANES = 1024          # units decoded per grid tile (8 sublanes x 128 lanes)
 OUT_CHUNK = 512       # symbols per output DMA chunk (multiple of 4)
 
+# v5e has 128 MB of VMEM/core but XLA's default *scoped* budget for a
+# custom call is 16 MB — round 1's bench died on exactly that check
+# (BENCH_r01: "18.50M ... limit 16.00M"). We account for every buffer the
+# kernel keeps resident and raise the per-kernel limit to match, capping
+# well under the physical size so XLA keeps room for its own buffers.
+VMEM_BUDGET = 96 << 20
+
+
+def vmem_bytes(W: int, out_chunk: int = OUT_CHUNK,
+               fetch_impl: str = "chunk", n_tiles: int = 1,
+               n_out: int = 4096) -> int:
+    """Scoped-VMEM bytes the kernel needs for a padded stream width W
+    (128-multiple). Mosaic double-buffers grid-indexed operands/outputs,
+    and XLA may additionally place the kernel's FULL output buffer in
+    VMEM (observed as an S(1) stack allocation at bench scale — this is
+    what the 16 MB default scoped limit tripped on in round 1)."""
+    words = 2 * 8 * 128 * W * 4
+    out_blocks = 2 * (out_chunk // 4) * 8 * 128 * 4
+    out_full = n_tiles * LANES * max(n_out, out_chunk)
+    ft = 2 * 256 * 79 * 4
+    slab = 2 * 32 * 8 * 64 * 128 * 4 if fetch_impl == "slab" else 0
+    scratch = 7 * 8 * 128 * 4
+    return (words + out_blocks + out_full + ft + slab + scratch
+            + (2 << 20))
+
 
 def build_fetch_table(lim, base, first_code, sorted_syms) -> jnp.ndarray:
     """Pack canonical decode tables into the (256, 96) kernel layout."""
@@ -304,6 +329,16 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     assert n_out % ochunk == 0 or n_out <= ochunk, (n_out, ochunk)
     n_sub = max(n_out, ochunk)
     W = (max(W_in, 3) + 127) // 128 * 128   # lane-aligned stream buffer
+    n_tiles_est = (R + LANES - 1) // LANES
+    est = vmem_bytes(W, ochunk, fetch_impl, n_tiles_est, n_out)
+    if est > VMEM_BUDGET:
+        raise ValueError(
+            f"decode_blocks_pallas: stream width W={W} x {n_tiles_est} "
+            f"tiles needs {est >> 20} MB scoped VMEM (> "
+            f"{VMEM_BUDGET >> 20} MB budget); use the scan decoder, a "
+            "smaller chunk, or a smaller decode unit")
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(est + (est >> 1), 48 << 20), 120 << 20))
     ft = build_fetch_table(lim, base, first_code, sorted_syms)
 
     n_tiles = (R + LANES - 1) // LANES
@@ -357,6 +392,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             out_shape=out_shape,
             scratch_shapes=scratch,
             cost_estimate=cost,
+            compiler_params=compiler_params,
             interpret=interpret,
         )(ft, ftsym_wide, words4)
     else:
@@ -369,6 +405,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             out_shape=out_shape,
             scratch_shapes=scratch,
             cost_estimate=cost,
+            compiler_params=compiler_params,
             interpret=interpret,
         )(ft, words4)
 

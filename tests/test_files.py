@@ -83,3 +83,63 @@ def test_cli_segmented_roundtrip(tmpfiles, capsys):
     rc = cli_main(["decode", "--report", dst, back])
     assert rc == 0
     assert open(back, "rb").read() == data
+
+
+def test_cli_stat_default_container(tmpfiles, capsys):
+    """`mhc stat` must report nonzero payload for the default sub-stream
+    layout (round-1 regression: it summed the empty bit_lengths)."""
+    mk, tmp = tmpfiles
+    data = english_like(120_000, seed=35)
+    src = mk("in.bin", data)
+    dst = str(tmp / "out.mhc")
+    rc = cli_main(["encode", src, dst])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["stat", dst])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["payload_bytes"] > 0
+    assert rep["orig_len"] == len(data)
+    assert rep["decode_unit"] > 0
+    assert rep["n_units"] >= rep["n_blocks"]
+    assert (rep["header_bytes"] + rep["index_bytes"] + rep["table_bytes"]
+            + rep["payload_bytes"]) <= rep["container_bytes"] + 8
+
+
+def test_streaming_segment_reader(tmpfiles):
+    """decompress_file must not buffer the whole file: _next_segment reads
+    incrementally and every read is bounded by one segment."""
+    mk, tmp = tmpfiles
+    data = mixed_binary(900_000, seed=36)
+    src = mk("in.bin", data)
+    dst = str(tmp / "out.mhc")
+    rep = api.compress_file(src, dst, segment_size=300_000)
+    assert rep["n_segments"] == 3
+    file_size = os.path.getsize(dst)
+
+    class RecordingFile:
+        def __init__(self, f):
+            self.f = f
+            self.reads = []
+
+        def read(self, n=-1):
+            b = self.f.read(n)
+            self.reads.append(len(b))
+            return b
+
+    segs = []
+    with open(dst, "rb") as raw:
+        f = RecordingFile(raw)
+        carry = b""
+        while True:
+            seg, carry = api._next_segment(f, carry)
+            if seg is None:
+                break
+            segs.append(seg)
+    assert len(segs) == 3
+    assert sum(len(s) for s in segs) == file_size
+    # every single read is far below the whole file size
+    assert max(f.reads) < file_size
+    # and the segments decode correctly
+    out = b"".join(api.decompress(s) for s in segs)
+    assert out == data
