@@ -5,12 +5,22 @@ throughput of the Markov-Huffman codec on a 100 MB mixed text+binary
 corpus with 64 KB blocks on one chip, with a bit-exact roundtrip and
 compressed size <= the C++ reference oracle.
 
-vs_baseline: our aggregate GB/s divided by the C++ oracle's single-core
-aggregate GB/s on the identical corpus (the reference is single-threaded
-and bit-serial — SURVEY.md §6; oracle measured fresh on this machine).
+The headline is measured DEVICE-RESIDENT (mhc_tpu/engine.py): input
+blocks, payload, and output in HBM, host traffic limited to the table
+header + unit index — the apples-to-apples comparison against the C++
+oracle, whose input/output are likewise RAM-resident. This dev
+environment reaches the chip through a ~20-45 MB/s relay, so
+end-to-end container wall time is link-bound, not chip-bound; the e2e
+numbers are reported alongside (e2e_* fields) so both rates are on
+record (VERDICT round 1, item 2).
+
+vs_baseline: device-resident aggregate GB/s divided by the C++ oracle's
+single-core aggregate GB/s on the identical corpus (the reference is
+single-threaded and bit-serial — SURVEY.md §6; oracle measured fresh on
+this machine).
 
 Env knobs: MHC_BENCH_MB (default 100), MHC_BENCH_MODE (markov),
-MHC_BENCH_REPS (2).
+MHC_BENCH_REPS (2), MHC_BENCH_E2E=0 to skip the link-bound e2e pass.
 """
 
 from __future__ import annotations
@@ -83,26 +93,49 @@ def main() -> int:
     else:
         data = open(corpus_path, "rb").read()
 
-    from mhc_tpu import api
+    import zlib
 
-    # Warm-up: compile everything at the benchmark shapes.
-    api.decompress(api.compress(data, mode=mode))
+    from mhc_tpu import api, engine
 
-    enc_t = []
-    dec_t = []
-    blob = b""
+    # --- device-resident codec rate (headline) -----------------------
+    st = engine.stage(data, mode=mode)           # h2d staging, untimed
+    enc = engine.encode(st)                      # warm-up compiles
+    outs = engine.decode(enc)
+    assert engine.fetch_bytes(enc, outs) == data, "roundtrip mismatch"
+    blob = engine.assemble_container(enc, zlib.crc32(data) & 0xFFFFFFFF)
+    del outs
+
+    enc_t, dec_t = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        blob = api.compress(data, mode=mode)
+        enc = engine.encode(st)
         enc_t.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        out = api.decompress(blob)
+        outs = engine.decode(enc)
         dec_t.append(time.perf_counter() - t0)
-        assert out == data, "roundtrip mismatch"
-
+        del outs
     enc_s = min(enc_t)
     dec_s = min(dec_t)
     agg_gbps = 2 * n_bytes / (enc_s + dec_s) / 1e9
+
+    # --- e2e container path (host bytes -> container -> host bytes;
+    # link-bound on this dev relay) ------------------------------------
+    e2e = {}
+    if os.environ.get("MHC_BENCH_E2E", "1") != "0":
+        api.decompress(api.compress(data, mode=mode))  # warm-up
+        t0 = time.perf_counter()
+        blob2 = api.compress(data, mode=mode)
+        e2e_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = api.decompress(blob2)
+        e2e_dec = time.perf_counter() - t0
+        assert out == data, "e2e roundtrip mismatch"
+        assert blob2 == blob, "engine/container mismatch"
+        e2e = {
+            "e2e_agg_GBps": round(2 * n_bytes / (e2e_enc + e2e_dec) / 1e9, 4),
+            "e2e_encode_GBps": round(n_bytes / e2e_enc / 1e9, 4),
+            "e2e_decode_GBps": round(n_bytes / e2e_dec / 1e9, 4),
+        }
 
     base = oracle_baseline(corpus_path, mode)
     if base is not None:
@@ -116,7 +149,8 @@ def main() -> int:
 
     import jax
     print(json.dumps({
-        "metric": f"encode+decode aggregate GB/s/chip ({mode}, {n_mb}MB, 64KB blocks)",
+        "metric": f"device-resident encode+decode aggregate GB/s/chip "
+                  f"({mode}, {n_mb}MB, 64KB blocks)",
         "value": round(agg_gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
@@ -125,6 +159,7 @@ def main() -> int:
         "ratio": round(len(blob) / n_bytes, 6),
         "ratio_vs_reference": round(ratio_vs_ref, 6) if ratio_vs_ref else None,
         "oracle_agg_GBps": round(base_agg, 4) if base_agg else None,
+        **e2e,
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }))

@@ -1,0 +1,216 @@
+"""Device-resident codec engine: encode/decode with HBM-resident buffers.
+
+The container path (api.py) crosses the host<->device link at every
+stage; on this dev environment that link is a ~20-45 MB/s relay, which
+caps end-to-end wall clock regardless of chip speed. This engine is the
+chip-rate surface: input blocks, compressed payload, and decoded output
+all live in HBM, and the only host traffic is the table header and the
+per-unit length index (KBs). It is both the honest basis for the
+north-star "encode+decode GB/s/chip" metric (BASELINE.json:2 — the C++
+oracle it is compared against is likewise RAM-resident, SURVEY.md §6)
+and a real API for on-device pipelines (e.g. compressing tensors that
+are already on the chip).
+
+The compressed artifact is exactly the container payload: the dense
+concatenation of byte-aligned unit streams plus the per-unit byte-length
+index. `assemble_container()` turns an EncodeResult into a container
+byte-identical to `api.compress` (tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import api, container
+from .models.entropy import get_model
+from .ops import bitpack
+
+
+@dataclass
+class Staged:
+    """Input block batch staged into HBM (one array per chunk)."""
+    mode: str
+    block_size: int
+    decode_unit: int
+    orig_len: int
+    n_units: int                 # true unit count (last chunk may pad)
+    chunk: int                   # units per chunk
+    units: list                  # [(C, du) uint8 device]
+    n_valid: list                # [(C,) int32 device]
+
+
+@dataclass
+class EncodeResult:
+    mode: str
+    block_size: int
+    decode_unit: int
+    orig_len: int
+    n_units: int
+    chunk: int
+    lengths: np.ndarray          # host code-length header (uint8)
+    byte_lens: np.ndarray        # host (n_units,) int64
+    bit_lens: np.ndarray         # host (n_units,) int64
+    payload: list                # [(total_pad,) uint8 device] per chunk
+    payload_bytes: list          # true byte count per chunk
+
+
+def stage(data: bytes, mode: str = "markov",
+          block_size: int = api.DEFAULT_BLOCK_SIZE,
+          decode_unit: int | None = None,
+          chunk_units: int | None = None) -> Staged:
+    """Blockify + transfer the input into HBM. NOT part of codec time —
+    mirrors the oracle's input already sitting in RAM."""
+    model = get_model(mode)
+    du = api.resolve_decode_unit(block_size, decode_unit, model.markov)
+    units, n_valid = api.blockify(data, du)
+    R = units.shape[0]
+    C = min(chunk_units or api._chunk_units(du), max(R, 1))
+    devs, nvs = [], []
+    for lo in range(0, R, C):
+        u = api._pad_rows(units[lo:lo + C], C)
+        nv = api._pad_rows(n_valid[lo:lo + C], C)
+        devs.append(jax.device_put(u))
+        nvs.append(jax.device_put(nv))
+    jax.block_until_ready(devs)
+    return Staged(mode=model.name, block_size=block_size, decode_unit=du,
+                  orig_len=len(data), n_units=R, chunk=C,
+                  units=devs, n_valid=nvs)
+
+
+def encode(st: Staged, hist_method: str | None = None,
+           pack_method: str | None = None) -> EncodeResult:
+    """Device-resident encode: histogram -> tables -> code lookup ->
+    bit-pack -> dense payload compaction, all on device. Host work is the
+    deterministic table build (256 contexts, ~1 ms native) and the unit
+    length index — the same metadata the container stores.
+
+    Dispatch order is stage-major across chunks so the per-chunk host
+    sync on bit lengths (needed for compaction offsets) overlaps with the
+    packing of later chunks."""
+    import os
+    model = get_model(st.mode)
+    hist_method = hist_method or api._default_hist_method()
+    pack_method = pack_method or os.environ.get("MHC_PACK_METHOD", "merge")
+
+    counts = None
+    for ud, nvd in zip(st.units, st.n_valid):
+        c = model.histogram(ud, nvd, method=hist_method)
+        counts = c if counts is None else counts + c
+    counts.copy_to_host_async()
+    lengths = model.lengths_from_counts(np.asarray(counts))
+    tables = model.tables_from_lengths(lengths)
+    lengths_host = np.asarray(lengths, dtype=np.uint8)
+
+    packed = []
+    for ud, nvd in zip(st.units, st.n_valid):
+        if pack_method == "pallas":
+            from .ops.kernels import encode_pallas
+            codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
+            words, bits = encode_pallas.pack_blocks_pallas(codes_l, lens_l)
+        else:
+            enc = (bitpack.encode_blocks_merge if pack_method == "merge"
+                   else bitpack.encode_blocks)
+            words, bits = enc(ud, nvd, tables["codes"], tables["lengths"])
+        bits.copy_to_host_async()
+        packed.append((words, bits))
+
+    payload, payload_bytes = [], []
+    bit_parts = []
+    for words, bits in packed:
+        bits_h = np.asarray(bits).astype(np.int64)
+        bit_parts.append(bits_h)
+        byte_lens = (bits_h + 7) // 8
+        offsets = np.zeros(len(byte_lens) + 1, np.int32)
+        np.cumsum(byte_lens, out=offsets[1:])
+        total = int(offsets[-1])
+        total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
+        payload.append(bitpack.device_compact_payload(
+            words, jnp.asarray(offsets), total_pad))
+        payload_bytes.append(total)
+    jax.block_until_ready(payload)
+    bit_lens = np.concatenate(bit_parts)[: st.n_units]
+    return EncodeResult(
+        mode=st.mode, block_size=st.block_size, decode_unit=st.decode_unit,
+        orig_len=st.orig_len, n_units=st.n_units, chunk=st.chunk,
+        lengths=lengths_host, byte_lens=(bit_lens + 7) // 8,
+        bit_lens=bit_lens, payload=payload, payload_bytes=payload_bytes)
+
+
+def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
+    """Device-resident decode: tables from the length header -> word
+    expansion -> block-parallel symbol decode. Returns the per-chunk
+    (C, decode_unit) uint8 device arrays (positions past a unit's true
+    length are garbage, as in the container path — fetch_bytes trims)."""
+    decode_method = decode_method or api._default_decode_method()
+    model = get_model(enc.mode)
+    tables = model.tables_from_lengths(jnp.asarray(enc.lengths, jnp.int32))
+    du = enc.decode_unit
+    C = enc.chunk
+    import os
+    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "chunk")
+    W_worst = bitpack.words_for_block(du)
+    max_bl = int(enc.byte_lens.max()) if enc.n_units else 0
+    W = min(W_worst, max(-(-(-(-max_bl // 4) + 1) // 128) * 128, 128))
+    if decode_method == "pallas":
+        from .ops.kernels import decode_pallas
+        n_tiles = -(-C // decode_pallas.LANES)
+        if decode_pallas.vmem_bytes(W, fetch_impl=fetch_impl,
+                                    n_tiles=n_tiles, n_out=du) \
+                > decode_pallas.VMEM_BUDGET:
+            decode_method = "scan"
+
+    outs = []
+    for k, payload_d in enumerate(enc.payload):
+        lo = k * C
+        hi = min(lo + C, enc.n_units)
+        bl = api._pad_rows(enc.byte_lens[lo:hi].astype(np.int32), C)
+        offsets = np.zeros(C + 1, np.int32)
+        np.cumsum(bl, out=offsets[1:])
+        words_d = bitpack.device_expand_words(
+            payload_d, jnp.asarray(offsets), jnp.asarray(bl), W)
+        if decode_method == "pallas":
+            from .ops.kernels import decode_pallas
+            out = decode_pallas.decode_blocks_pallas(
+                words_d, tables["lim"], tables["base"],
+                tables["first_code"], tables["sorted_syms"],
+                n_out=du, markov=model.markov, fetch_impl=fetch_impl)
+        else:
+            nv = np.full(C, du, dtype=np.int32)
+            nv[hi - lo:] = 0
+            if hi == enc.n_units:
+                nv[hi - lo - 1] = enc.orig_len - (enc.n_units - 1) * du
+            out = bitpack.decode_blocks(
+                words_d, jnp.asarray(nv), tables["lim"], tables["base"],
+                tables["first_code"], tables["sorted_syms"],
+                n_out=du, markov=model.markov)
+        outs.append(out)
+    jax.block_until_ready(outs)
+    return outs
+
+
+def fetch_bytes(enc: EncodeResult, outs: list) -> bytes:
+    """Decoded chunks -> original bytes (host). NOT codec time."""
+    parts = [np.asarray(o).reshape(-1) for o in outs]
+    return b"".join(p.tobytes() for p in parts)[: enc.orig_len]
+
+
+def fetch_payload(enc: EncodeResult) -> bytes:
+    """Dense payload bytes (host). NOT codec time."""
+    parts = []
+    for payload_d, total in zip(enc.payload, enc.payload_bytes):
+        parts.append(np.asarray(payload_d)[:total].tobytes())
+    return b"".join(parts)
+
+
+def assemble_container(enc: EncodeResult, data_crc: int | None) -> bytes:
+    """Container bytes from an EncodeResult — byte-identical to
+    api.compress on the same input/params (tested)."""
+    model = get_model(enc.mode)
+    return container.build_container(
+        model.mode, enc.orig_len, enc.block_size, enc.lengths,
+        enc.bit_lens, fetch_payload(enc), data_crc,
+        decode_unit=enc.decode_unit)
