@@ -417,8 +417,11 @@ def compress_file(in_path: str, out_path: str, mode: str = "markov",
                   block_size: int = DEFAULT_BLOCK_SIZE,
                   decode_unit: int | None = None, crc: bool = True,
                   segment_size: int = DEFAULT_SEGMENT_SIZE,
-                  sharded: bool = False, mesh=None) -> dict:
-    """Streaming file compression with segment chaining. Returns stats."""
+                  sharded: bool = False, mesh=None,
+                  host_fraction: float | None = None) -> dict:
+    """Streaming file compression with segment chaining. Returns stats.
+    host_fraction routes that share of units to the hybrid host/device
+    executor (hybrid.py); containers are byte-identical either way."""
     total_in = os.path.getsize(in_path)
     total_out = 0
     n_segments = 0
@@ -432,6 +435,11 @@ def compress_file(in_path: str, out_path: str, mode: str = "markov",
                 blob = pipeline.compress_sharded(
                     seg, mesh, mode=mode, block_size=block_size,
                     crc=crc, decode_unit=decode_unit)
+            elif host_fraction is not None:
+                from . import hybrid
+                blob = hybrid.compress(
+                    seg, mode=mode, block_size=block_size, crc=crc,
+                    decode_unit=decode_unit, host_fraction=host_fraction)
             else:
                 blob = compress(seg, mode=mode, block_size=block_size,
                                 crc=crc, decode_unit=decode_unit)
@@ -475,7 +483,8 @@ def _next_segment(f, buf: bytes) -> tuple[bytes | None, bytes]:
 
 def decompress_file(in_path: str, out_path: str, verify: bool = True,
                     decode_method: str | None = None,
-                    sharded: bool = False, mesh=None) -> dict:
+                    sharded: bool = False, mesh=None,
+                    host_fraction: float | None = None) -> dict:
     """Streaming decompression of a (possibly segment-chained) file.
     Segments are read and decoded one at a time (constant memory in the
     number of segments — round 1 buffered the entire file)."""
@@ -490,6 +499,11 @@ def decompress_file(in_path: str, out_path: str, verify: bool = True,
             if sharded:
                 from .parallel import pipeline
                 data = pipeline.decompress_sharded(seg, mesh, verify=verify)
+            elif host_fraction is not None:
+                from . import hybrid
+                data = hybrid.decompress(seg, verify=verify,
+                                         host_fraction=host_fraction,
+                                         decode_method=decode_method)
             else:
                 data = decompress(seg, verify=verify,
                                   decode_method=decode_method)

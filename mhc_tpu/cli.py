@@ -48,6 +48,9 @@ def main(argv=None) -> int:
                     help="data-parallel over all local devices")
     pe.add_argument("--distributed", action="store_true",
                     help="jax.distributed.initialize() first (multi-host)")
+    pe.add_argument("--host-fraction", default=None, type=float,
+                    help="hybrid executor: share of units encoded by "
+                    "host C++ threads (0..1; containers are identical)")
     pe.add_argument("--report", action="store_true",
                     help="print a JSON size/throughput report")
 
@@ -58,6 +61,9 @@ def main(argv=None) -> int:
     pd.add_argument("--decode-method", default=None,
                     choices=["scan", "pallas"],
                     help="default: pallas on TPU, scan elsewhere")
+    pd.add_argument("--host-fraction", default=None, type=float,
+                    help="hybrid executor: share of units decoded by "
+                    "host C++ threads (0..1)")
     pd.add_argument("--sharded", action="store_true")
     pd.add_argument("--distributed", action="store_true")
     pd.add_argument("--report", action="store_true")
@@ -87,7 +93,7 @@ def _run(args, api, container) -> int:
             args.input, args.output, mode=args.mode,
             block_size=args.block_size, decode_unit=args.decode_unit,
             crc=not args.no_crc, segment_size=args.segment_size,
-            sharded=args.sharded)
+            sharded=args.sharded, host_fraction=args.host_fraction)
         dt = time.perf_counter() - t0
         if args.report:
             rep["encode_seconds"] = dt
@@ -104,7 +110,8 @@ def _run(args, api, container) -> int:
         t0 = time.perf_counter()
         rep = api.decompress_file(
             args.input, args.output, verify=not args.no_verify,
-            decode_method=args.decode_method, sharded=args.sharded)
+            decode_method=args.decode_method, sharded=args.sharded,
+            host_fraction=args.host_fraction)
         dt = time.perf_counter() - t0
         if args.report:
             rep["decode_seconds"] = dt

@@ -81,27 +81,39 @@ def stage(data: bytes, mode: str = "markov",
                   units=devs, n_valid=nvs)
 
 
+def histogram(st: Staged, hist_method: str | None = None) -> np.ndarray:
+    """Device histogram over the staged units, fetched to host (int64)."""
+    model = get_model(st.mode)
+    hist_method = hist_method or api._default_hist_method()
+    counts = None
+    for ud, nvd in zip(st.units, st.n_valid):
+        c = model.histogram(ud, nvd, method=hist_method)
+        counts = c if counts is None else counts + c
+    return np.asarray(counts).astype(np.int64)
+
+
 def encode(st: Staged, hist_method: str | None = None,
-           pack_method: str | None = None) -> EncodeResult:
+           pack_method: str | None = None,
+           lengths: np.ndarray | None = None) -> EncodeResult:
     """Device-resident encode: histogram -> tables -> code lookup ->
     bit-pack -> dense payload compaction, all on device. Host work is the
     deterministic table build (256 contexts, ~1 ms native) and the unit
     length index — the same metadata the container stores.
+
+    `lengths` overrides the histogram+table-build stage with precomputed
+    code lengths (the hybrid executor builds them from a global host+
+    device histogram).
 
     Dispatch order is stage-major across chunks so the per-chunk host
     sync on bit lengths (needed for compaction offsets) overlaps with the
     packing of later chunks."""
     import os
     model = get_model(st.mode)
-    hist_method = hist_method or api._default_hist_method()
     pack_method = pack_method or os.environ.get("MHC_PACK_METHOD", "merge")
 
-    counts = None
-    for ud, nvd in zip(st.units, st.n_valid):
-        c = model.histogram(ud, nvd, method=hist_method)
-        counts = c if counts is None else counts + c
-    counts.copy_to_host_async()
-    lengths = model.lengths_from_counts(np.asarray(counts))
+    if lengths is None:
+        counts = histogram(st, hist_method)
+        lengths = model.lengths_from_counts(counts)
     tables = model.tables_from_lengths(lengths)
     lengths_host = np.asarray(lengths, dtype=np.uint8)
 

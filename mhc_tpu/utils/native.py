@@ -23,12 +23,26 @@ _lib = None
 _tried = False
 
 
+_CODEC_VERSION = 4  # keep in sync with mhc_codec_version()
+
+
+def _stale() -> bool:
+    """Rebuild when the .so is missing or older than its sources (the
+    version pin below catches binary/ABI drift the mtimes miss)."""
+    if not os.path.exists(_SO):
+        return True
+    so_t = os.path.getmtime(_SO)
+    ndir = os.path.dirname(_SO)
+    return any(os.path.getmtime(os.path.join(ndir, f)) > so_t
+               for f in os.listdir(ndir) if f.endswith(".cpp"))
+
+
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
+    if _stale():
         try:
             subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
                            capture_output=True, timeout=120, check=False)
@@ -69,7 +83,8 @@ def _load():
             lib.mhc_entropy_decode.restype = ctypes.c_int64
             lib.mhc_codec_version.restype = ctypes.c_int
             lib.mhc_version.restype = ctypes.c_int
-            if lib.mhc_version() == 2 and lib.mhc_codec_version() == 3:
+            if lib.mhc_version() == 2 \
+                    and lib.mhc_codec_version() == _CODEC_VERSION:
                 _lib = lib
         except OSError:
             _lib = None
@@ -207,17 +222,17 @@ def build_enc_table(lengths: np.ndarray) -> np.ndarray | None:
 
 def encode_units(data: np.ndarray, unit: int, packed: np.ndarray,
                  markov: bool, row_stride: int):
-    """Encode ceil(n/unit) unit streams. Returns (rows, byte_lens)."""
+    """Encode ceil(n/unit) unit streams. Returns (rows, bit_lens)."""
     lib = _load()
     d = np.ascontiguousarray(data, dtype=np.uint8)
     n_units = (d.size + unit - 1) // unit
     rows = np.empty((n_units, row_stride), np.uint8)
-    byte_lens = np.empty(n_units, np.int64)
+    bit_lens = np.empty(n_units, np.int64)
     lib.mhc_encode_units(d.ctypes.data, d.size, unit, n_units,
                          np.ascontiguousarray(packed, np.uint32).ctypes.data,
                          1 if markov else 0, rows.ctypes.data, row_stride,
-                         byte_lens.ctypes.data)
-    return rows, byte_lens
+                         bit_lens.ctypes.data)
+    return rows, bit_lens
 
 
 def build_dec_lut(lengths: np.ndarray) -> np.ndarray | None:

@@ -144,12 +144,14 @@ void mhc_build_enc_table(const uint8_t* lengths, int64_t nctx,
 // short of `n` total bytes). markov: ctx = previous byte (reset 0 per
 // unit); order-0 passes a table whose 256 context rows are identical and
 // markov=0 skips the context update. Output: rows (n_units, row_stride)
-// byte streams MSB-first big-endian, zero-padded; byte_lens[i] = exact
-// stream length. Bit-identical to encode_blocks/_merge on device.
+// byte streams MSB-first big-endian, zero-padded; bit_lens[i] = exact
+// stream length in BITS (the container index stores bits for the legacy
+// layout; byte length = ceil(bits/8)). Bit-identical to
+// encode_blocks/_merge on device (tested, tests/test_hybrid.py).
 void mhc_encode_units(const uint8_t* data, int64_t n, int64_t unit,
                       int64_t n_units, const uint32_t* packed, int markov,
                       uint8_t* rows, int64_t row_stride,
-                      int64_t* byte_lens) {
+                      int64_t* bit_lens) {
   parallel_range(n_units, hw_threads2(), [&](int, int64_t lo, int64_t hi) {
     for (int64_t u = lo; u < hi; ++u) {
       const uint8_t* p = data + u * unit;
@@ -158,6 +160,7 @@ void mhc_encode_units(const uint8_t* data, int64_t n, int64_t unit,
       uint64_t acc = 0;  // bits accumulate at the top, MSB-first
       int nbits = 0;
       int64_t pos = 0;
+      int64_t total_bits = 0;
       int prev = 0;
       for (int64_t i = 0; i < m; ++i) {
         uint32_t e = packed[prev * 256 + p[i]];
@@ -165,6 +168,7 @@ void mhc_encode_units(const uint8_t* data, int64_t n, int64_t unit,
         uint32_t code = e & 0xFFFF;
         acc |= (uint64_t)code << (64 - nbits - len);
         nbits += len;
+        total_bits += len;
         while (nbits >= 8) {
           out[pos++] = (uint8_t)(acc >> 56);
           acc <<= 8;
@@ -174,7 +178,7 @@ void mhc_encode_units(const uint8_t* data, int64_t n, int64_t unit,
       }
       if (nbits > 0) out[pos++] = (uint8_t)(acc >> 56);
       std::memset(out + pos, 0, (size_t)(row_stride - pos));
-      byte_lens[u] = pos;
+      bit_lens[u] = total_bits;
     }
   });
 }
@@ -288,6 +292,6 @@ int64_t mhc_entropy_decode(const uint8_t* src, int64_t nb, const uint8_t* lens,
   return (bits_used + 7) / 8;
 }
 
-int mhc_codec_version() { return 3; }
+int mhc_codec_version() { return 4; }
 
 }  // extern "C"
