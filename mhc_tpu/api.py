@@ -248,7 +248,7 @@ def compress(data: bytes, mode: str = "markov",
             for words, bits in packed:
                 bits_h = np.asarray(bits).astype(np.int64)
                 bits_parts.append(bits_h)
-                byte_lens = (bits_h + 7) // 8
+                byte_lens = container.stream_byte_lens(bits_h, model.mode)
                 wmax = max((int(byte_lens.max()) + 3) // 4, 1) \
                     if byte_lens.size else 1
                 wmax32 = min(-(-wmax // 32) * 32, words.shape[1])
@@ -262,24 +262,35 @@ def compress(data: bytes, mode: str = "markov",
                 fetched.append(native.join_rows(rows, byte_lens))
         payload = b"".join(fetched)
     elif enc_fetch == "compact":
+        aligned = container.aligned_payload(model.mode)
         with ph("compact", orig_len):
             pending = []
             for words, bits in packed:
                 bits_h = np.asarray(bits).astype(np.int64)
                 bits_parts.append(bits_h)
-                byte_lens = (bits_h + 7) // 8
-                offsets = np.zeros(len(byte_lens) + 1, np.int32)
-                np.cumsum(byte_lens, out=offsets[1:])
+                lens = container.stream_byte_lens(bits_h, model.mode)
+                if aligned:
+                    lens = lens // 4
+                offsets = np.zeros(len(lens) + 1, np.int32)
+                np.cumsum(lens, out=offsets[1:])
                 total = int(offsets[-1])
-                total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
-                payload_d = bitpack.device_compact_payload(
-                    words, jnp.asarray(offsets), total_pad)
+                gran = (1 << 18) if aligned else (1 << 20)
+                pad = max(-(-total // gran) * gran, gran)
+                if aligned:
+                    payload_d = bitpack.device_compact_words(
+                        words, jnp.asarray(offsets), pad)
+                else:
+                    payload_d = bitpack.device_compact_payload(
+                        words, jnp.asarray(offsets), pad)
                 pending.append((_fetch_subs(payload_d), total))
-        with ph("d2h", sum(t for _, t in pending)):
+        with ph("d2h", sum((4 if aligned else 1) * t for _, t in pending)):
             fetched = []
             for subs, total in pending:
-                buf = b"".join(np.asarray(s).tobytes() for s in subs)
-                fetched.append(buf[:total])
+                flat = np.concatenate([np.asarray(s) for s in subs])
+                if aligned:
+                    fetched.append(flat[:total].astype(">u4").tobytes())
+                else:
+                    fetched.append(flat[:total].tobytes())
         payload = b"".join(fetched)
     else:
         with ph("d2h", sum(int(w.size) * 4 for w, _ in packed)):
@@ -291,7 +302,9 @@ def compress(data: bytes, mode: str = "markov",
             chunks = []
             for words_h, bits_h in parts:
                 bits_parts.append(bits_h)
-                chunks.append(bitpack.words_to_payload(words_h, bits_h))
+                chunks.append(bitpack.words_to_payload(
+                    words_h, bits_h,
+                    aligned=container.aligned_payload(model.mode)))
             payload = b"".join(chunks)
     bits_all = np.concatenate(bits_parts)[:R]
     with ph("container", len(payload)):
@@ -371,7 +384,8 @@ def decompress(blob: bytes, verify: bool = True,
         nv[hi - lo:] = 0
         if hi == R:
             nv[hi - lo - 1] = meta.orig_len - (R - 1) * du
-        if device_compact:
+        if device_compact and not (meta.flags & container.FLAG_ALIGNED_PAYLOAD):
+            # legacy (round-1) unaligned container: per-byte expansion
             offsets = np.zeros(C + 1, np.int32)
             np.cumsum(bl, out=offsets[1:])
             total = int(offsets[-1])
@@ -384,6 +398,22 @@ def decompress(blob: bytes, verify: bool = True,
             with ph("expand", total):
                 words_d = bitpack.device_expand_words(
                     payload_d, jnp.asarray(offsets), jnp.asarray(bl), W)
+        elif device_compact:
+            word_lens = bl // 4
+            offsets = np.zeros(C + 1, np.int32)
+            np.cumsum(word_lens, out=offsets[1:])
+            total_w = int(offsets[-1])
+            pad_w = max(-(-total_w // (1 << 18)) << 18, 1 << 18)
+            flat = np.zeros(pad_w, np.uint32)
+            raw = np.frombuffer(blob, np.uint8, total_w * 4,
+                                meta.payload_off + int(starts[lo]))
+            flat[:total_w] = raw.copy().view(">u4")
+            with ph("h2d", total_w * 4):
+                payload_d = jnp.asarray(flat)
+            with ph("expand", total_w * 4):
+                words_d = bitpack.device_expand_words_u32(
+                    payload_d, jnp.asarray(offsets),
+                    jnp.asarray(word_lens), W)
         else:
             with ph("unmarshal", int(bl.sum())):
                 words = container.payload_to_words(blob, meta, W,

@@ -58,6 +58,28 @@ FLAG_PACKED_INDEX = 4
 FLAG_GROUPED_INDEX = 8
 FLAG_PACKED_TABLES = 16   # table nibbles entropy-coded (markov only)
 FLAG_ENTROPY_INDEX = 32   # unit index entropy-coded
+# Unit streams stored at 4-byte-aligned payload offsets and the index
+# stores u32-word counts instead of byte counts. Costs ~2 padding bytes
+# per ~3 KB unit stream (~0.06%) and makes payload compaction/expansion
+# on TPU a pure word gather — no per-byte searchsorted/shift (the round-1
+# device compaction was 23x slower than the rest of the encode combined).
+# Markov-only: order-0 decodes via the scan path (its 16 KB units exceed
+# the Pallas VMEM budget) and its size margin vs the oracle on 1 MB text
+# is ~40 bytes — alignment would tip it over BASELINE's "size <= ref".
+FLAG_ALIGNED_PAYLOAD = 64
+
+
+def aligned_payload(mode: int) -> bool:
+    """Whether the writer uses the aligned payload layout for a mode."""
+    return mode == MODE_MARKOV
+
+
+def stream_byte_lens(bit_lengths: np.ndarray, mode: int) -> np.ndarray:
+    """Payload bytes each unit stream occupies (layout-aware)."""
+    bits = np.asarray(bit_lengths, np.int64)
+    if aligned_payload(mode):
+        return ((bits + 31) // 32) * 4
+    return (bits + 7) // 8
 
 INDEX_GROUP = 512  # units per index group (each group: own base + nbits)
 
@@ -340,18 +362,26 @@ def build_container(mode: int, orig_len: int, block_size: int,
     decode_unit is set, else whole blocks). payload: already-concatenated
     byte-aligned unit streams."""
     flags = FLAG_CRC32 if crc is not None else 0
+    aligned = aligned_payload(mode)
     if decode_unit is not None and decode_unit != block_size:
         flags |= FLAG_SUBSTREAMS | FLAG_PACKED_INDEX
+        if aligned:
+            flags |= FLAG_ALIGNED_PAYLOAD
         du_log2 = decode_unit.bit_length() - 1
         assert (1 << du_log2) == decode_unit, "decode_unit must be pow2"
         n_blocks = (orig_len + block_size - 1) // block_size
-        byte_lens = (np.asarray(bit_lengths, np.int64) + 7) // 8
-        variants = [(pack_index(byte_lens), 0),
-                    (pack_index_grouped(byte_lens), FLAG_GROUPED_INDEX),
-                    (pack_index_entropy(byte_lens), FLAG_ENTROPY_INDEX)]
+        bits = np.asarray(bit_lengths, np.int64)
+        idx_lens = (bits + 31) // 32 if aligned else (bits + 7) // 8
+        variants = [(pack_index(idx_lens), 0),
+                    (pack_index_grouped(idx_lens), FLAG_GROUPED_INDEX),
+                    (pack_index_entropy(idx_lens), FLAG_ENTROPY_INDEX)]
         index, extra = min(variants, key=lambda v: len(v[0]))
         flags |= extra
     else:
+        # legacy whole-block layout keeps exact bit lengths in the index;
+        # the payload alignment (if any) is recorded in flag bit 6
+        if aligned:
+            flags |= FLAG_ALIGNED_PAYLOAD
         du_log2 = 0
         n_blocks = len(bit_lengths)
         index = np.asarray(bit_lengths, dtype="<u4").tobytes()
@@ -405,6 +435,10 @@ def parse_container(blob: bytes, head_only: bool = False) -> ContainerMeta:
             byte_lengths = np.frombuffer(
                 blob[off:off + idx_bytes], dtype="<u2").astype(np.int64)
             off += idx_bytes
+        if flags & FLAG_ALIGNED_PAYLOAD:
+            # index stores u32-word counts; streams sit at aligned
+            # offsets, zero-padded — byte_lengths is the aligned length
+            byte_lengths = byte_lengths * 4
     else:
         decode_unit = None
         idx_bytes = 4 * n_blocks
@@ -412,7 +446,10 @@ def parse_container(blob: bytes, head_only: bool = False) -> ContainerMeta:
             raise ValueError("mhc: truncated container (block index)")
         bit_lengths = np.frombuffer(
             blob[off:off + idx_bytes], dtype="<u4").astype(np.int64)
-        byte_lengths = (bit_lengths + 7) // 8
+        if flags & FLAG_ALIGNED_PAYLOAD:
+            byte_lengths = ((bit_lengths + 31) // 32) * 4
+        else:
+            byte_lengths = (bit_lengths + 7) // 8
         off += idx_bytes
     index_bytes = off - idx_start
     payload_len = int(byte_lengths.sum())

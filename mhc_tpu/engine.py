@@ -52,10 +52,11 @@ class EncodeResult:
     n_units: int
     chunk: int
     lengths: np.ndarray          # host code-length header (uint8)
-    byte_lens: np.ndarray        # host (n_units,) int64
+    byte_lens: np.ndarray        # host (n_units,) int64 (layout-aware)
     bit_lens: np.ndarray         # host (n_units,) int64
-    payload: list                # [(total_pad,) uint8 device] per chunk
-    payload_bytes: list          # true byte count per chunk
+    payload: list                # per-chunk device payload: u32 (markov,
+                                 # aligned layout) or u8 (order-0)
+    payload_n: list              # true element count per chunk
 
 
 def stage(data: bytes, mode: str = "markov",
@@ -130,26 +131,35 @@ def encode(st: Staged, hist_method: str | None = None,
         bits.copy_to_host_async()
         packed.append((words, bits))
 
-    payload, payload_bytes = [], []
+    aligned = container.aligned_payload(model.mode)
+    payload, payload_n = [], []
     bit_parts = []
     for words, bits in packed:
         bits_h = np.asarray(bits).astype(np.int64)
         bit_parts.append(bits_h)
-        byte_lens = (bits_h + 7) // 8
-        offsets = np.zeros(len(byte_lens) + 1, np.int32)
-        np.cumsum(byte_lens, out=offsets[1:])
+        lens = container.stream_byte_lens(bits_h, model.mode)
+        if aligned:
+            lens = lens // 4
+        offsets = np.zeros(len(lens) + 1, np.int32)
+        np.cumsum(lens, out=offsets[1:])
         total = int(offsets[-1])
-        total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
-        payload.append(bitpack.device_compact_payload(
-            words, jnp.asarray(offsets), total_pad))
-        payload_bytes.append(total)
+        gran = (1 << 18) if aligned else (1 << 20)
+        pad = max(-(-total // gran) * gran, gran)
+        if aligned:
+            payload.append(bitpack.device_compact_words(
+                words, jnp.asarray(offsets), pad))
+        else:
+            payload.append(bitpack.device_compact_payload(
+                words, jnp.asarray(offsets), pad))
+        payload_n.append(total)
     jax.block_until_ready(payload)
     bit_lens = np.concatenate(bit_parts)[: st.n_units]
     return EncodeResult(
         mode=st.mode, block_size=st.block_size, decode_unit=st.decode_unit,
         orig_len=st.orig_len, n_units=st.n_units, chunk=st.chunk,
-        lengths=lengths_host, byte_lens=(bit_lens + 7) // 8,
-        bit_lens=bit_lens, payload=payload, payload_bytes=payload_bytes)
+        lengths=lengths_host,
+        byte_lens=container.stream_byte_lens(bit_lens, model.mode),
+        bit_lens=bit_lens, payload=payload, payload_n=payload_n)
 
 
 def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
@@ -165,8 +175,8 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
     import os
     fetch_impl = os.environ.get("MHC_FETCH_IMPL", "chunk")
     W_worst = bitpack.words_for_block(du)
-    max_bl = int(enc.byte_lens.max()) if enc.n_units else 0
-    W = min(W_worst, max(-(-(-(-max_bl // 4) + 1) // 128) * 128, 128))
+    max_wl = -(-int(enc.byte_lens.max()) // 4) if enc.n_units else 0
+    W = min(W_worst, max(-(-(max_wl + 1) // 128) * 128, 128))
     if decode_method == "pallas":
         from .ops.kernels import decode_pallas
         n_tiles = -(-C // decode_pallas.LANES)
@@ -175,15 +185,21 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
                 > decode_pallas.VMEM_BUDGET:
             decode_method = "scan"
 
+    aligned = container.aligned_payload(model.mode)
     outs = []
     for k, payload_d in enumerate(enc.payload):
         lo = k * C
         hi = min(lo + C, enc.n_units)
         bl = api._pad_rows(enc.byte_lens[lo:hi].astype(np.int32), C)
+        lens = bl // 4 if aligned else bl
         offsets = np.zeros(C + 1, np.int32)
-        np.cumsum(bl, out=offsets[1:])
-        words_d = bitpack.device_expand_words(
-            payload_d, jnp.asarray(offsets), jnp.asarray(bl), W)
+        np.cumsum(lens, out=offsets[1:])
+        if aligned:
+            words_d = bitpack.device_expand_words_u32(
+                payload_d, jnp.asarray(offsets), jnp.asarray(lens), W)
+        else:
+            words_d = bitpack.device_expand_words(
+                payload_d, jnp.asarray(offsets), jnp.asarray(bl), W)
         if decode_method == "pallas":
             from .ops.kernels import decode_pallas
             out = decode_pallas.decode_blocks_pallas(
@@ -213,8 +229,10 @@ def fetch_bytes(enc: EncodeResult, outs: list) -> bytes:
 def fetch_payload(enc: EncodeResult) -> bytes:
     """Dense payload bytes (host). NOT codec time."""
     parts = []
-    for payload_d, total in zip(enc.payload, enc.payload_bytes):
-        parts.append(np.asarray(payload_d)[:total].tobytes())
+    for payload_d, n in zip(enc.payload, enc.payload_n):
+        h = np.asarray(payload_d)[:n]
+        parts.append(h.astype(">u4").tobytes()
+                     if h.dtype == np.uint32 else h.tobytes())
     return b"".join(parts)
 
 

@@ -108,7 +108,8 @@ def compress(data: bytes, mode: str = "markov",
             (np.zeros((0, 4), np.uint8), np.zeros((0,), np.int64))
 
     payload = (engine.fetch_payload(enc_dev) if enc_dev is not None
-               else b"") + native.join_rows(rows, (bits_host + 7) // 8)
+               else b"") + native.join_rows(
+                   rows, container.stream_byte_lens(bits_host, model.mode))
     bit_lens = np.concatenate(
         [enc_dev.bit_lens if enc_dev is not None
          else np.zeros((0,), np.int64), bits_host])
@@ -139,25 +140,32 @@ def _device_result_from_container(blob: bytes, meta, S: int, du: int,
     """Stage the device prefix's payload into HBM as an EncodeResult so
     engine.decode can run it."""
     model = get_model(meta.mode)
+    aligned = bool(meta.flags & container.FLAG_ALIGNED_PAYLOAD)
     byte_lens = meta.byte_lengths[:S].astype(np.int64)
     C = min(api._chunk_units(du), S)
-    payload, payload_bytes = [], []
+    payload, payload_n = [], []
     for lo in range(0, S, C):
         hi = min(lo + C, S)
-        total = int(byte_lens[lo:hi].sum())
-        total_pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
-        flat = np.zeros(total_pad, np.uint8)
-        flat[:total] = np.frombuffer(
-            blob, np.uint8, count=total,
-            offset=meta.payload_off + int(starts[lo]))
+        total_b = int(byte_lens[lo:hi].sum())
+        raw = np.frombuffer(blob, np.uint8, count=total_b,
+                            offset=meta.payload_off + int(starts[lo]))
+        if aligned:
+            total = total_b // 4
+            pad = max(-(-total // (1 << 18)) << 18, 1 << 18)
+            flat = np.zeros(pad, np.uint32)
+            flat[:total] = raw.copy().view(">u4")
+        else:
+            total = total_b
+            pad = max(-(-total // (1 << 20)) << 20, 1 << 20)
+            flat = np.zeros(pad, np.uint8)
+            flat[:total] = raw
         payload.append(jnp.asarray(flat))
-        payload_bytes.append(total)
+        payload_n.append(total)
     return engine.EncodeResult(
         mode=model.name, block_size=meta.block_size, decode_unit=du,
         orig_len=min(S * du, meta.orig_len), n_units=S, chunk=C,
         lengths=meta.lengths, byte_lens=byte_lens,
-        bit_lens=byte_lens * 8, payload=payload,
-        payload_bytes=payload_bytes)
+        bit_lens=byte_lens * 8, payload=payload, payload_n=payload_n)
 
 
 def decompress(blob: bytes, verify: bool = True,

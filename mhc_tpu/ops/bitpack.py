@@ -266,6 +266,44 @@ def device_rows_to_bytes(words: jnp.ndarray, wmax: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("total_pad",))
+def device_compact_words(words: jnp.ndarray, word_offsets: jnp.ndarray,
+                         total_pad: int) -> jnp.ndarray:
+    """words (R, W) u32 + aligned unit WORD offsets (R+1,) int32 ->
+    (total_pad,) u32 dense payload (big-endian byte semantics; positions
+    past word_offsets[-1] are zero).
+
+    The unit id of every output word comes from a scatter+cumsum over the
+    unit boundaries — one dense pass — and the value from ONE flat
+    gather. The round-1 byte compaction did a 12-step searchsorted plus a
+    word gather PER BYTE (~13 gathers/byte); this does 2 gathers per 4
+    bytes and runs ~20x faster on v5e (bench/stages.py)."""
+    R, W = words.shape
+    j = jnp.arange(total_pad, dtype=jnp.int32)
+    # unit[j] = #\{u >= 1 : word_offsets[u] <= j\}; collisions (empty
+    # units) accumulate correctly through the scatter-add
+    mark = jnp.zeros((total_pad,), jnp.int32).at[word_offsets[1:-1]].add(
+        1, mode="drop")
+    unit = jnp.cumsum(mark)
+    pos = j - word_offsets[unit]
+    val = jnp.take(words.reshape(-1),
+                   jnp.clip(unit * W + pos, 0, R * W - 1))
+    return jnp.where(j < word_offsets[-1], val, 0)
+
+
+@partial(jax.jit, static_argnames=("W",))
+def device_expand_words_u32(payload: jnp.ndarray, word_offsets: jnp.ndarray,
+                            word_lens: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Inverse of device_compact_words: (T,) u32 payload -> (R, W) u32
+    zero-padded word streams. One gather per word."""
+    R = word_lens.shape[0]
+    T = payload.shape[0]
+    idx = word_offsets[:R, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    val = jnp.take(payload, jnp.clip(idx, 0, T - 1))
+    ok = jnp.arange(W)[None, :] < word_lens[:, None]
+    return jnp.where(ok, val, 0)
+
+
+@partial(jax.jit, static_argnames=("total_pad",))
 def device_compact_payload(words: jnp.ndarray, offsets: jnp.ndarray,
                            total_pad: int) -> jnp.ndarray:
     """words (R, W) uint32 + byte offsets (R+1,) -> (total_pad,) uint8
@@ -312,13 +350,16 @@ def words_to_block_bytes(words: np.ndarray, bit_lengths: np.ndarray):
     return [raw[i, : nbytes[i]].tobytes() for i in range(words.shape[0])]
 
 
-def words_to_payload(words: np.ndarray, bit_lengths: np.ndarray) -> bytes:
-    """Concatenate every unit's byte-aligned stream (native threaded
-    memcpy via utils/native.py, numpy-mask fallback)."""
+def words_to_payload(words: np.ndarray, bit_lengths: np.ndarray,
+                     aligned: bool = False) -> bytes:
+    """Concatenate every unit's stream — at exact byte lengths, or at
+    4-byte-aligned offsets when `aligned` (the FLAG_ALIGNED_PAYLOAD
+    layout; native threaded memcpy via utils/native.py)."""
     from ..utils import native
     raw = np.ascontiguousarray(words.astype('>u4')).view(np.uint8)
     raw = raw.reshape(words.shape[0], -1)
-    nbytes = (np.asarray(bit_lengths).astype(np.int64) + 7) // 8
+    bits = np.asarray(bit_lengths).astype(np.int64)
+    nbytes = ((bits + 31) // 32) * 4 if aligned else (bits + 7) // 8
     return native.join_rows(raw, nbytes)
 
 

@@ -142,6 +142,46 @@ def shard_blocks(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
             _to_global(n_valid, NamedSharding(mesh, P(axis))), B)
 
 
+@partial(jax.jit, static_argnames=("markov", "axis", "mesh", "hist_method"))
+def _hist_sharded(blocks, n_valid, *, markov: bool, mesh: Mesh,
+                  axis: str = DATA_AXIS, hist_method: str = "matmul"):
+    """Per-shard histogram + psum -> replicated (256[,256]) counts."""
+
+    def shard_fn(b, nv):
+        if markov:
+            local = histogram.histogram_markov(b, nv, method=hist_method)
+        else:
+            local = histogram.histogram_order0(b, nv, method=hist_method)
+        return jax.lax.psum(local, axis)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
+        check_vma=False)(blocks, n_valid)
+
+
+@jax.jit
+def _lengths_from_counts_dev(counts):
+    """Replicated deterministic table build (device twin of the host
+    builder — bit-identical, tested in test_huffman)."""
+    return huffman.code_lengths(huffman.rescale_counts_jax(counts))
+
+
+@partial(jax.jit, static_argnames=("markov", "axis", "mesh"))
+def _pack_sharded(blocks, n_valid, lengths, *, markov: bool, mesh: Mesh,
+                  axis: str = DATA_AXIS):
+    """Sharded emit pass with precomputed (replicated) code lengths."""
+
+    def shard_fn(b, nv, lengths):
+        t, _ = _build_tables_shard_from_lengths(lengths, markov)
+        return bitpack.encode_blocks_merge(b, nv, t["codes"], t["lengths"])
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False)(blocks, n_valid, lengths)
+
+
 def encode_sharded(blocks: np.ndarray, n_valid: np.ndarray, mesh: Mesh,
                    markov: bool = True, hist_method: str = "matmul"):
     """Two-pass sharded encode. Returns host (words, bits, lengths) trimmed
@@ -178,9 +218,25 @@ def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
 # container-level sharded API (mirrors api.compress/decompress)
 # ---------------------------------------------------------------------------
 
+def _chunk_units_sharded(du: int, mesh: Mesh) -> int:
+    """Units per sharded dispatch: same memory target as the
+    single-device chunking, rounded up to the shard count."""
+    from ..api import _chunk_units
+    n_shards = mesh.shape[DATA_AXIS]
+    return pad_to_multiple(max(_chunk_units(du), n_shards), n_shards)
+
+
 def compress_sharded(data: bytes, mesh: Mesh | None = None,
                      mode: str = "markov", block_size: int = 64 * 1024,
                      crc: bool = True, decode_unit: int | None = None) -> bytes:
+    """Chunked two-pass sharded compress — bounded host/device memory at
+    any input size (BASELINE.json:10 config-4 scale), byte-identical to
+    api.compress (tested at 100 MB in test_scale.py).
+
+    Pass 1 psums per-chunk histograms into one replicated count array;
+    the tables are then built ONCE (replicated deterministic device
+    build) and pass 2 packs chunk by chunk, fetching only the chunk-max
+    stream width across the link."""
     import zlib
 
     from .. import container
@@ -192,22 +248,57 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None,
     du = resolve_decode_unit(block_size, decode_unit, model.markov)
     units, n_valid = blockify(data, du)
     checksum = (zlib.crc32(data) & 0xFFFFFFFF) if crc else None
-    if units.shape[0] == 0:
+    R = units.shape[0]
+    if R == 0:
         return container.build_container(
             model.mode, 0, block_size,
             np.zeros((256, 256) if model.markov else (256,), np.uint8),
             np.zeros((0,), np.int64), b"", checksum, decode_unit=du)
-    words, bits, lengths = encode_sharded(units, n_valid, mesh,
-                                          markov=model.markov)
-    bits = bits.astype(np.int64)
-    payload = bitpack.words_to_payload(words, bits)
+
+    C = min(_chunk_units_sharded(du, mesh), pad_to_multiple(
+        R, mesh.shape[DATA_AXIS]))
+    chunks = []
+    for lo in range(0, R, C):
+        hi = min(lo + C, R)
+        chunks.append(shard_blocks(units[lo:hi], n_valid[lo:hi], mesh))
+
+    from ..api import _default_hist_method
+    counts = None
+    for blocks_d, nv_d, _ in chunks:
+        c = _hist_sharded(blocks_d, nv_d, markov=model.markov, mesh=mesh,
+                          hist_method=_default_hist_method())
+        counts = c if counts is None else counts + c
+    lengths_dev = _lengths_from_counts_dev(counts)
+    lengths_host = np.asarray(lengths_dev, dtype=np.uint8)
+
+    bits_parts, payload_parts = [], []
+    for blocks_d, nv_d, B in chunks:
+        words, bits = _pack_sharded(blocks_d, nv_d, lengths_dev,
+                                    markov=model.markov, mesh=mesh)
+        bits_h = _to_host(bits)[:B].astype(np.int64)
+        bits_parts.append(bits_h)
+        # fetch only the chunk-max (layout-aware) stream width
+        byte_lens = container.stream_byte_lens(bits_h, model.mode)
+        wmax = max(-(-int(byte_lens.max()) // 4), 1) if byte_lens.size else 1
+        wmax32 = min(-(-wmax // 32) * 32, words.shape[1])
+        words_h = _to_host(words[:, :wmax32])[:B]
+        raw = np.ascontiguousarray(words_h.astype(">u4")).view(np.uint8)
+        raw = raw.reshape(B, -1)
+        from ..utils import native
+        payload_parts.append(native.join_rows(raw, byte_lens))
+    bits_all = np.concatenate(bits_parts)
+    payload = b"".join(payload_parts)
     return container.build_container(model.mode, len(data), block_size,
-                                     lengths, bits, payload, checksum,
-                                     decode_unit=du)
+                                     lengths_host, bits_all, payload,
+                                     checksum, decode_unit=du)
 
 
 def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
                        verify: bool = True) -> bytes:
+    """Chunked sharded decode (scan decoder inside shard_map; the Pallas
+    kernel is the single-chip surface — inside shard_map each device
+    would need its own Mosaic program, which works but is untested on
+    real multi-chip hardware, so the portable scan is the default)."""
     from .. import container
     from ..models.entropy import get_model
 
@@ -217,14 +308,24 @@ def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
         return b""
     mesh = mesh or make_mesh()
     du = meta.decode_unit or meta.block_size
-    W = bitpack.words_for_block(du)
-    words = container.payload_to_words(blob, meta, W)
-    R = words.shape[0]
-    n_valid = np.full(R, du, dtype=np.int32)
-    n_valid[-1] = meta.orig_len - (R - 1) * du
-    out = decode_sharded(words, n_valid, meta.lengths, mesh,
-                         n_out=du, markov=model.markov)
-    data = out.reshape(-1)[: meta.orig_len].tobytes()
+    byte_lens = meta.byte_lengths.astype(np.int64)
+    R = len(byte_lens)
+    W_worst = bitpack.words_for_block(du)
+    max_wl = int(byte_lens.max()) // 4 if R else 0
+    W = min(W_worst, max(max_wl + 1, 4))
+    C = min(_chunk_units_sharded(du, mesh), pad_to_multiple(
+        R, mesh.shape[DATA_AXIS]))
+    parts = []
+    for lo in range(0, R, C):
+        hi = min(lo + C, R)
+        words = container.payload_to_words(blob, meta, W, lo=lo, hi=hi)
+        nv = np.full(hi - lo, du, dtype=np.int32)
+        if hi == R:
+            nv[-1] = meta.orig_len - (R - 1) * du
+        out = decode_sharded(words, nv, meta.lengths, mesh,
+                             n_out=du, markov=model.markov)
+        parts.append(out.reshape(-1)[: (hi - lo - 1) * du + nv[-1]])
+    data = b"".join(p.tobytes() for p in parts)
     if verify:
         container.verify_crc(data, meta)
     return data
