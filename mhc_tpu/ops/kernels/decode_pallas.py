@@ -92,7 +92,7 @@ _PAIR_COLS = list(range(0, 15))     # lim | bf<<16, l = 1..15
 _SYM_COLS = list(range(15, 79))
 
 
-def _fetch_all(ft, ctx, markov: bool):
+def _fetch_all(ft, ctx, markov: bool, sparse: bool = False):
     """Chunked sublane-gather fetch of the ctx row of the fetch table.
 
     ft: (256, 96) int32 (value or ref-load); ctx: (8, 128) int32.
@@ -100,6 +100,12 @@ def _fetch_all(ft, ctx, markov: bool):
     chunk's (8, 96) sub-table broadcasts across lanes as (8, 96, 128) ->
     (8, 12288) with each value a contiguous 128-lane slab, so the whole
     row fetch is ~6 ops per chunk instead of ~6 per value per chunk.
+
+    sparse: branch around chunks no lane needs this step (one any-reduce
+    + lax.cond per chunk). Contexts cluster hard on text-like data
+    (ASCII spans ~4 of the 32 chunks), so most of the 32-chunk pass is
+    skipped; on uniform data every chunk hits and the reduces are pure
+    overhead — the caller picks via fetch_impl.
     """
     sub = ctx & 7
     hi = ctx >> 3
@@ -113,14 +119,16 @@ def _fetch_all(ft, ctx, markov: bool):
         8, NV * 128)
     acc = jnp.zeros((8, NV * 128), jnp.int32)
     for c in range(n_chunks):
-        ftc = ft[c * 8:(c + 1) * 8, :]              # (8, 79)
-        tab = jnp.broadcast_to(ftc[:, :, None], (8, NV, 128)).reshape(
-            8, NV * 128)
-        g = jnp.take_along_axis(tab, idx_wide, axis=0)
-        if markov:
-            acc = jnp.where(hi_wide == c, g, acc)
+        def taken(a, c=c):
+            ftc = ft[c * 8:(c + 1) * 8, :]          # (8, 79)
+            tab = jnp.broadcast_to(ftc[:, :, None], (8, NV, 128)).reshape(
+                8, NV * 128)
+            g = jnp.take_along_axis(tab, idx_wide, axis=0)
+            return jnp.where(hi_wide == c, g, a) if markov else g
+        if sparse and markov:
+            acc = jax.lax.cond(jnp.any(hi == c), taken, lambda a: a, acc)
         else:
-            acc = g
+            acc = taken(acc)
     vals = [acc[:, v * 128:(v + 1) * 128] for v in (_PAIR_COLS + _SYM_COLS)]
     np_ = len(_PAIR_COLS)
     return vals[:np_], vals[np_:]
@@ -200,9 +208,11 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
                 fetch_impl: str = "chunk", ftsym_wide=None):
     if fetch_impl == "slab":
         pairs, symws = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
+    elif fetch_impl == "mxu":
+        pairs, symws = _fetch_all_mxu(ft, ctx, markov)
     else:
-        fetch = _fetch_all_mxu if fetch_impl == "mxu" else _fetch_all
-        pairs, symws = fetch(ft, ctx, markov)
+        pairs, symws = _fetch_all(ft, ctx, markov,
+                                  sparse=fetch_impl == "sparse")
     win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
     length = jnp.ones((8, 128), jnp.int32)
     for lv in pairs[:14]:                       # lim[l], l = 1..14

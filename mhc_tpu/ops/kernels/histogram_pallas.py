@@ -94,8 +94,49 @@ def markov_hist_pallas(data: jnp.ndarray, n_valid: jnp.ndarray,
                                   interpret=interpret)
 
 
+def _hist0_kernel(cur_ref, out_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    c = cur_ref[0]                                    # (CHUNK, 1)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 256), 1)
+    b = (c == sym).astype(jnp.int32)
+    # major-axis split (CHUNK, 256) -> (CHUNK//8, 8, 256) is
+    # layout-preserving; the axis-0 reduce lands on the (8, 256) output
+    # tile directly — no MXU, no (1, 256) sub-tile write
+    out_ref[:] += jnp.sum(b.reshape(CHUNK // 8, 8, 256), axis=0)
+
+
 def order0_hist_pallas(data: jnp.ndarray, n_valid: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
-    """(256,) byte counts: column sums of the pair histogram (each position
-    is counted exactly once as `cur`)."""
-    return markov_hist_pallas(data, n_valid, interpret=interpret).sum(axis=0)
+    """(256,) byte counts via a direct 256-bin VPU-reduce kernel (the
+    round-1 version computed the full 256x256 pair histogram and summed
+    it — 256x the needed FLOPs)."""
+    data = data.astype(jnp.int32)
+    B, n = data.shape
+    valid = jnp.arange(n)[None, :] < n_valid[:, None]
+    cur = jnp.where(valid, data, 256).reshape(-1)
+    N = cur.shape[0]
+    pad = (-N) % CHUNK
+    if pad:
+        cur = jnp.concatenate([cur, jnp.full((pad,), 256, jnp.int32)])
+    n_chunks = cur.shape[0] // CHUNK
+    cur2 = cur.reshape(n_chunks, CHUNK, 1)
+    out = pl.pallas_call(
+        _hist0_kernel,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(cur2.size) * 256,
+            bytes_accessed=int(cur2.size) * 4 + 8 * 256 * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(cur2)
+    return out.sum(axis=0)

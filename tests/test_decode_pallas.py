@@ -93,3 +93,24 @@ def test_pallas_plumbing_interpret():
         w, t["lim"], t["base"], t["first_code"], t["sorted_syms"],
         n_out=n, markov=False, interpret=True, out_chunk=16))
     assert (out[:R, :n] == blocks).all()
+
+
+@pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "slab"])
+def test_kernel_math_fetch_impls(fetch_impl):
+    """Every fetch variant decodes bit-identically (pure-jnp mirror)."""
+    rng = np.random.default_rng(99)
+    R, n = 1024, 256
+    payload = rng.integers(0, 256, R * n, dtype=np.uint8)
+    payload[payload < 200] %= 17  # text-like clustering
+    blocks = payload.reshape(R, n)
+    nv = np.full(R, n, np.int32)
+    t = _tables(blocks, nv, True)
+    tile = _encode_tile(blocks, nv, t)
+    ft = dp.build_fetch_table(t["lim"], t["base"], t["first_code"],
+                              t["sorted_syms"])
+    out = np.array(jax.jit(
+        dp.decode_tile_reference,
+        static_argnames=("n_out", "markov", "fetch_impl"))(
+        jnp.array(tile), ft, n_out=n, markov=True,
+        fetch_impl=fetch_impl))
+    assert (out == blocks.reshape(8, 128, n)).all()
