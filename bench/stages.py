@@ -115,7 +115,7 @@ def main() -> int:
         stage("pack_pallas(incl lookup)", lambda: run_pack("pallas"))
         stage("pack_scatter(incl lookup)", lambda: run_pack("scatter"))
 
-    packed = run_pack(os.environ.get("MHC_PACK_METHOD", "merge"))
+    packed = run_pack(api._default_pack_method())
     jax.block_until_ready([p[0] for p in packed])
 
     def run_compact():

@@ -110,7 +110,7 @@ def encode(st: Staged, hist_method: str | None = None,
     packing of later chunks."""
     import os
     model = get_model(st.mode)
-    pack_method = pack_method or os.environ.get("MHC_PACK_METHOD", "merge")
+    pack_method = pack_method or api._default_pack_method()
 
     if lengths is None:
         counts = histogram(st, hist_method)

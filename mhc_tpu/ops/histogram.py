@@ -64,13 +64,19 @@ def _matmul_hist(prev, cur, valid):
     cur = cur.reshape(-1, C)
     valid = valid.reshape(-1, C)
 
+    # int8 one-hots halve the MXU/HBM cost of the contraction vs bf16
+    # (v5e int8 path); partials accumulate in int32 — exact at any chunk
+    # size. CPU keeps bf16/f32 (its int8 matmul path is slow).
+    i8 = jax.default_backend() == "tpu"
+    dt = jnp.int8 if i8 else jnp.bfloat16
+
     def chunk_step(acc, args):
         p, c, v = args
-        a = jax.nn.one_hot(p, 256, dtype=jnp.bfloat16) * v[:, None].astype(jnp.bfloat16)
-        bm = jax.nn.one_hot(c, 256, dtype=jnp.bfloat16)
+        a = jax.nn.one_hot(p, 256, dtype=dt) * v[:, None].astype(dt)
+        bm = jax.nn.one_hot(c, 256, dtype=dt)
         partial_counts = jax.lax.dot_general(
             a, bm, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.int32 if i8 else jnp.float32)
         return acc + partial_counts.astype(jnp.int32), None
 
     acc0 = jnp.zeros((256, 256), jnp.int32)

@@ -134,30 +134,35 @@ def _fetch_all(ft, ctx, markov: bool, sparse: bool = False):
     return vals[:np_], vals[np_:]
 
 
-def _fetch_all_mxu(ft, ctx, markov: bool):
-    """MXU variant of the table-row fetch: a batched one-hot matmul.
+def _fetch_all_mxu2(ft, ctx, markov: bool):
+    """Whole-row fetch as four exact 8-bit bf16 one-hot matmuls.
 
-    oh[r, j, c] = (ctx[r,j] == c) in f32; fetched = oh @ ft via
-    dot_general contracting the 256-context axis (batch-free 3D form, no
-    reshapes of the (8, 128) lane layout). ~41M f32 MACs per step — a few
-    MXU cycles — replacing the 32-chunk gather/select pass. ft words use
-    all 32 bits (symw), so the table is fetched as TWO 16-bit halves
-    (exact in f32: values < 2^16 << 2^24) and recombined.
-    """
+    Contracts the 256-context axis with the (8, 128) lane layout
+    PRESERVED: oh (256, 8, 128) is one vreg-row per context, so
+    dot_general(plane (256, 79), oh) is a plain (79,256)@(256,1024) MXU
+    pass with no (8,128)->(1024,) relayout per step. Plane values are
+    0..255 (exact in bf16) and each one-hot column has a single 1, so
+    the f32 accumulation is exact; the four shifted planes reassemble
+    the int32 row bit pattern. (A prior 16-bit-half f32 variant decoded
+    correctly in the jnp mirror but MISdecoded on the real chip: MXU
+    f32 matmuls run as bf16 passes, which are not exact above 2^8 —
+    hence 8-bit planes.)"""
     if not markov:
         return _fetch_all(ft, ctx, markov)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 256), 2)
-    oh = (ctx[:, :, None] == iota_c).astype(jnp.float32)
-    lo = (ft & 0xFFFF).astype(jnp.float32)       # (256, NV) halves
-    hi = ((ft >> 16) & 0xFFFF).astype(jnp.float32)
-    dn = (((2,), (0,)), ((), ()))
-    flo = jax.lax.dot_general(oh, lo, dimension_numbers=dn,
-                              preferred_element_type=jnp.float32)
-    fhi = jax.lax.dot_general(oh, hi, dimension_numbers=dn,
-                              preferred_element_type=jnp.float32)
-    fetched = (fhi.astype(jnp.int32) << 16) | flo.astype(jnp.int32)
-    pairs = [fetched[:, :, v] for v in _PAIR_COLS]
-    symws = [fetched[:, :, v] for v in _SYM_COLS]
+    NV = 79
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
+    oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    acc = None
+    for k in range(4):
+        plane = ((ft >> (8 * k)) & 255).astype(jnp.bfloat16)   # (256, 79)
+        xk = jax.lax.dot_general(plane, oh, dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32)
+        v = xk.astype(jnp.uint32) << (8 * k)
+        acc = v if acc is None else acc | v
+    acc = jax.lax.bitcast_convert_type(acc, jnp.int32)  # (79, 8, 128)
+    pairs = [acc[v] for v in _PAIR_COLS]
+    symws = [acc[v] for v in _SYM_COLS]
     return pairs, symws
 
 
@@ -208,8 +213,8 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
                 fetch_impl: str = "chunk", ftsym_wide=None):
     if fetch_impl == "slab":
         pairs, symws = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
-    elif fetch_impl == "mxu":
-        pairs, symws = _fetch_all_mxu(ft, ctx, markov)
+    elif fetch_impl in ("mxu", "mxu2"):
+        pairs, symws = _fetch_all_mxu2(ft, ctx, markov)
     else:
         pairs, symws = _fetch_all(ft, ctx, markov,
                                   sparse=fetch_impl == "sparse")
@@ -347,8 +352,10 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             f"tiles needs {est >> 20} MB scoped VMEM (> "
             f"{VMEM_BUDGET >> 20} MB budget); use the scan decoder, a "
             "smaller chunk, or a smaller decode unit")
+    # floor 64 MB: Mosaic's own matmul/relayout scratch (the mxu fetch
+    # variant) is not in the estimate — observed 48.3 MB at W=1280
     compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=min(max(est + (est >> 1), 48 << 20), 120 << 20))
+        vmem_limit_bytes=min(max(est + (est >> 1), 64 << 20), 120 << 20))
     ft = build_fetch_table(lim, base, first_code, sorted_syms)
 
     n_tiles = (R + LANES - 1) // LANES

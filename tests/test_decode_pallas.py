@@ -95,7 +95,7 @@ def test_pallas_plumbing_interpret():
     assert (out[:R, :n] == blocks).all()
 
 
-@pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "slab"])
+@pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "mxu2", "slab"])
 def test_kernel_math_fetch_impls(fetch_impl):
     """Every fetch variant decodes bit-identically (pure-jnp mirror)."""
     rng = np.random.default_rng(99)
