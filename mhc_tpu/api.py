@@ -29,14 +29,16 @@ from .ops import bitpack
 
 DEFAULT_BLOCK_SIZE = 64 * 1024
 # Sequential decode length per lane. Smaller units = more decode lanes
-# and fewer sequential steps, but each unit costs index bytes and a
-# context reset; 4 KB is the sweet spot that keeps the markov container
-# under the reference oracle (with entropy-coded tables/index) while the
-# Pallas decoder's per-tile stream buffer (1024 lanes * W words) still
-# fits VMEM. Order-0 decode amortizes its (context-free, loop-invariant)
-# table fetch over the whole unit, so longer units cost little speed and
-# minimize index overhead (the scan decoder handles the larger W).
-DEFAULT_DECODE_UNIT = 4096
+# and fewer sequential steps, but each unit costs index bytes, payload
+# alignment padding, and a context reset. 8 KB keeps the 100 MB markov
+# container under the reference oracle (0.99991 vs oracle; 4 KB was
+# 1.00037 with the aligned layout) at IDENTICAL measured decode speed
+# (total symbol-steps per chip are unit-size-invariant; 214 vs 210 ms
+# per 16 MB chunk on v5e) while the Pallas stream buffer still fits the
+# VMEM budget. Order-0 decode amortizes its loop-invariant table fetch
+# over the whole unit, so longer units cost little speed and minimize
+# index overhead.
+DEFAULT_DECODE_UNIT = 8192
 DEFAULT_DECODE_UNIT_ORDER0 = 16384
 
 
@@ -348,7 +350,7 @@ def decompress(blob: bytes, verify: bool = True,
     device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
     byte_lens_all = meta.byte_lengths.astype(np.int64)
     R = len(byte_lens_all)
-    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "chunk")
+    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "mxu2")  # 2.1x chunk on v5e
     # Stream buffer width: the worst case (15 bits/symbol) pads every unit
     # to ~1.9x the decode unit, but the Mosaic kernel keeps the whole
     # (8, 128, W) tile stream in VMEM — size it by the container's actual

@@ -38,7 +38,7 @@ def main(argv=None) -> int:
                     choices=["markov", "huffman", "order0"])
     pe.add_argument("--block-size", default="64K", type=_parse_size)
     pe.add_argument("--decode-unit", default=None, type=_parse_size,
-                    help="independent decode granularity (default 2K; "
+                    help="independent decode granularity (default 8K markov, 16K order-0; "
                     "power of two dividing block-size)")
     pe.add_argument("--no-crc", action="store_true")
     pe.add_argument("--segment-size", default="1G", type=_parse_size,

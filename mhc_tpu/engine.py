@@ -173,7 +173,7 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
     du = enc.decode_unit
     C = enc.chunk
     import os
-    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "chunk")
+    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "mxu2")  # 2.1x chunk on v5e
     W_worst = bitpack.words_for_block(du)
     max_wl = -(-int(enc.byte_lens.max()) // 4) if enc.n_units else 0
     W = min(W_worst, max(-(-(max_wl + 1) // 128) * 128, 128))

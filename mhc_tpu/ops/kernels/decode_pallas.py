@@ -158,9 +158,10 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
         plane = ((ft >> (8 * k)) & 255).astype(jnp.bfloat16)   # (256, 79)
         xk = jax.lax.dot_general(plane, oh, dimension_numbers=dn,
                                  preferred_element_type=jnp.float32)
-        v = xk.astype(jnp.uint32) << (8 * k)
+        # f32 -> int32 (Mosaic has no f32->u32 cast); the k=3 shift wraps
+        # modularly in int32, which reproduces the original bit pattern
+        v = xk.astype(jnp.int32) << (8 * k)
         acc = v if acc is None else acc | v
-    acc = jax.lax.bitcast_convert_type(acc, jnp.int32)  # (79, 8, 128)
     pairs = [acc[v] for v in _PAIR_COLS]
     symws = [acc[v] for v in _SYM_COLS]
     return pairs, symws
