@@ -15,6 +15,11 @@ import os as _os
 
 import jax as _jax
 
+# MHC_PLATFORM=cpu forces the CPU backend (this env pins JAX_PLATFORMS
+# at a level the plain env var cannot override; jax.config can).
+if _os.environ.get("MHC_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["MHC_PLATFORM"])
+
 # The vmapped table-build jits are expensive to compile on TPU (minutes);
 # a persistent cache makes every process after the first start warm.
 if not _os.environ.get("MHC_NO_COMPILE_CACHE"):

@@ -118,11 +118,24 @@ def encode(st: Staged, hist_method: str | None = None,
     tables = model.tables_from_lengths(lengths)
     lengths_host = np.asarray(lengths, dtype=np.uint8)
 
+    aligned = container.aligned_payload(model.mode)
+    fused = pack_method == "pallas" and aligned
     packed = []
+    payload = []
     for ud, nvd in zip(st.units, st.n_valid):
         if pack_method == "pallas":
             from .ops.kernels import encode_pallas
             codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
+            if fused:
+                # fused pack+compaction: dense aligned payload straight
+                # from the bubble stream, offsets on device — no host
+                # round-trip between pack and compaction
+                pay, bits = encode_pallas.pack_blocks_to_payload(
+                    codes_l, lens_l)
+                payload.append(pay)
+                packed.append((None, bits))
+                bits.copy_to_host_async()
+                continue
             words, bits = encode_pallas.pack_blocks_pallas(codes_l, lens_l)
         else:
             enc = (bitpack.encode_blocks_merge if pack_method == "merge"
@@ -131,15 +144,17 @@ def encode(st: Staged, hist_method: str | None = None,
         bits.copy_to_host_async()
         packed.append((words, bits))
 
-    aligned = container.aligned_payload(model.mode)
-    payload, payload_n = [], []
+    payload_n = []
     bit_parts = []
-    for words, bits in packed:
+    for k, (words, bits) in enumerate(packed):
         bits_h = np.asarray(bits).astype(np.int64)
         bit_parts.append(bits_h)
         lens = container.stream_byte_lens(bits_h, model.mode)
         if aligned:
             lens = lens // 4
+        if fused:
+            payload_n.append(int(lens.sum()))
+            continue
         offsets = np.zeros(len(lens) + 1, np.int32)
         np.cumsum(lens, out=offsets[1:])
         total = int(offsets[-1])
@@ -195,7 +210,11 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
         offsets = np.zeros(C + 1, np.int32)
         np.cumsum(lens, out=offsets[1:])
         if aligned:
-            words_d = bitpack.device_expand_words_u32(
+            expand = (bitpack.device_expand_words_slices
+                      if os.environ.get("MHC_EXPAND_IMPL",
+                                        "slices") == "slices"
+                      else bitpack.device_expand_words_u32)
+            words_d = expand(
                 payload_d, jnp.asarray(offsets), jnp.asarray(lens), W)
         else:
             words_d = bitpack.device_expand_words(

@@ -353,6 +353,47 @@ def device_expand_words_u32(payload: jnp.ndarray, word_offsets: jnp.ndarray,
     return jnp.where(ok, val, 0)
 
 
+@partial(jax.jit, static_argnames=("W",))
+def device_expand_words_slices(payload: jnp.ndarray,
+                               word_offsets: jnp.ndarray,
+                               word_lens: jnp.ndarray, W: int) -> jnp.ndarray:
+    """device_expand_words_u32 as a scan of R dynamic slices instead of
+    one (R, W) flat gather: each step DMAs a contiguous W-word window —
+    dense copies instead of per-element gather addressing."""
+    R = word_lens.shape[0]
+    paypad = jnp.concatenate([payload, jnp.zeros((W,), payload.dtype)])
+    iw = jnp.arange(W, dtype=jnp.int32)
+
+    def step(_, r):
+        row = jax.lax.dynamic_slice(paypad, (word_offsets[r],), (W,))
+        return None, jnp.where(iw < word_lens[r], row, 0)
+
+    _, rows = jax.lax.scan(step, None, jnp.arange(R, dtype=jnp.int32))
+    return rows
+
+
+@partial(jax.jit, static_argnames=("total_pad",))
+def device_compact_words_slices(words: jnp.ndarray,
+                                word_offsets: jnp.ndarray,
+                                total_pad: int) -> jnp.ndarray:
+    """device_compact_words as a scan of R dynamic-update-slices in
+    ASCENDING unit order: unit r writes its full W-word row at its
+    offset; the (W - len) garbage words beyond its true stream are
+    overwritten by unit r+1's write at offset[r]+len[r]. The buffer
+    carries W slack words so the last unit's garbage lands past
+    total_pad. Bit-identical to device_compact_words (tested)."""
+    R, W = words.shape
+
+    def step(buf, r):
+        return jax.lax.dynamic_update_slice(buf, words[r],
+                                            (word_offsets[r],)), None
+
+    buf0 = jnp.zeros((total_pad + W,), words.dtype)
+    buf, _ = jax.lax.scan(step, buf0, jnp.arange(R, dtype=jnp.int32))
+    j = jnp.arange(total_pad, dtype=jnp.int32)
+    return jnp.where(j < word_offsets[-1], buf[:total_pad], 0)
+
+
 @partial(jax.jit, static_argnames=("total_pad",))
 def device_compact_payload(words: jnp.ndarray, offsets: jnp.ndarray,
                            total_pad: int) -> jnp.ndarray:

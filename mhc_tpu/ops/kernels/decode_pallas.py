@@ -55,18 +55,19 @@ VMEM_BUDGET = 96 << 20
 
 def vmem_bytes(W: int, out_chunk: int = OUT_CHUNK,
                fetch_impl: str = "chunk", n_tiles: int = 1,
-               n_out: int = 4096) -> int:
+               n_out: int = 4096, lanes: int = 128) -> int:
     """Scoped-VMEM bytes the kernel needs for a padded stream width W
     (128-multiple). Mosaic double-buffers grid-indexed operands/outputs,
     and XLA may additionally place the kernel's FULL output buffer in
     VMEM (observed as an S(1) stack allocation at bench scale — this is
-    what the 16 MB default scoped limit tripped on in round 1)."""
-    words = 2 * 8 * 128 * W * 4
-    out_blocks = 2 * (out_chunk // 4) * 8 * 128 * 4
-    out_full = n_tiles * LANES * max(n_out, out_chunk)
+    what the 16 MB default scoped limit tripped on in round 1).
+    `lanes` is the minor lane width (128 * lane-tile multiple)."""
+    words = 2 * 8 * lanes * W * 4
+    out_blocks = 2 * (out_chunk // 4) * 8 * lanes * 4
+    out_full = n_tiles * 8 * lanes * max(n_out, out_chunk)
     ft = 2 * 256 * 79 * 4
-    slab = 2 * 32 * 8 * 64 * 128 * 4 if fetch_impl == "slab" else 0
-    scratch = 7 * 8 * 128 * 4
+    slab = 2 * 32 * 8 * 64 * lanes * 4 if fetch_impl == "slab" else 0
+    scratch = 7 * 8 * lanes * 4
     return (words + out_blocks + out_full + ft + slab + scratch
             + (2 << 20))
 
@@ -109,27 +110,28 @@ def _fetch_all(ft, ctx, markov: bool, sparse: bool = False):
     """
     sub = ctx & 7
     hi = ctx >> 3
+    L = ctx.shape[-1]
     n_chunks = 32 if markov else 1
     NV = 79
-    idx_wide = jnp.broadcast_to(sub[:, None, :], (8, NV, 128)).reshape(
-        8, NV * 128)
+    idx_wide = jnp.broadcast_to(sub[:, None, :], (8, NV, L)).reshape(
+        8, NV * L)
     # Mosaic crashes on broadcast+reshape of BOOL masks; broadcast the
     # int context and compare in the wide shape instead
-    hi_wide = jnp.broadcast_to(hi[:, None, :], (8, NV, 128)).reshape(
-        8, NV * 128)
-    acc = jnp.zeros((8, NV * 128), jnp.int32)
+    hi_wide = jnp.broadcast_to(hi[:, None, :], (8, NV, L)).reshape(
+        8, NV * L)
+    acc = jnp.zeros((8, NV * L), jnp.int32)
     for c in range(n_chunks):
         def taken(a, c=c):
             ftc = ft[c * 8:(c + 1) * 8, :]          # (8, 79)
-            tab = jnp.broadcast_to(ftc[:, :, None], (8, NV, 128)).reshape(
-                8, NV * 128)
+            tab = jnp.broadcast_to(ftc[:, :, None], (8, NV, L)).reshape(
+                8, NV * L)
             g = jnp.take_along_axis(tab, idx_wide, axis=0)
             return jnp.where(hi_wide == c, g, a) if markov else g
         if sparse and markov:
             acc = jax.lax.cond(jnp.any(hi == c), taken, lambda a: a, acc)
         else:
             acc = taken(acc)
-    vals = [acc[:, v * 128:(v + 1) * 128] for v in (_PAIR_COLS + _SYM_COLS)]
+    vals = [acc[:, v * L:(v + 1) * L] for v in (_PAIR_COLS + _SYM_COLS)]
     np_ = len(_PAIR_COLS)
     return vals[:np_], vals[np_:]
 
@@ -149,8 +151,8 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
     hence 8-bit planes.)"""
     if not markov:
         return _fetch_all(ft, ctx, markov)
-    NV = 79
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
+    L = ctx.shape[-1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, L), 0)
     oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
     acc = None
@@ -174,23 +176,24 @@ def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
     Pairs (15 cols) still use the in-kernel broadcast — cheap."""
     sub = ctx & 7
     hi = ctx >> 3
+    L = ctx.shape[-1]
     n_chunks = 32 if markov else 1
     NP = len(_PAIR_COLS)
-    idx_p = jnp.broadcast_to(sub[:, None, :], (8, NP, 128)).reshape(
-        8, NP * 128)
-    hi_p = jnp.broadcast_to(hi[:, None, :], (8, NP, 128)).reshape(
-        8, NP * 128)
+    idx_p = jnp.broadcast_to(sub[:, None, :], (8, NP, L)).reshape(
+        8, NP * L)
+    hi_p = jnp.broadcast_to(hi[:, None, :], (8, NP, L)).reshape(
+        8, NP * L)
     NS = 64
-    idx_s = jnp.broadcast_to(sub[:, None, :], (8, NS, 128)).reshape(
-        8, NS * 128)
-    hi_s = jnp.broadcast_to(hi[:, None, :], (8, NS, 128)).reshape(
-        8, NS * 128)
-    accp = jnp.zeros((8, NP * 128), jnp.int32)
-    accs = jnp.zeros((8, NS * 128), jnp.int32)
+    idx_s = jnp.broadcast_to(sub[:, None, :], (8, NS, L)).reshape(
+        8, NS * L)
+    hi_s = jnp.broadcast_to(hi[:, None, :], (8, NS, L)).reshape(
+        8, NS * L)
+    accp = jnp.zeros((8, NP * L), jnp.int32)
+    accs = jnp.zeros((8, NS * L), jnp.int32)
     for c in range(n_chunks):
         ftc = ft[c * 8:(c + 1) * 8, :NP]
-        tabp = jnp.broadcast_to(ftc[:, :, None], (8, NP, 128)).reshape(
-            8, NP * 128)
+        tabp = jnp.broadcast_to(ftc[:, :, None], (8, NP, L)).reshape(
+            8, NP * L)
         gp = jnp.take_along_axis(tabp, idx_p, axis=0)
         gs = jnp.take_along_axis(ftsym_wide[c], idx_s, axis=0)
         if markov:
@@ -198,16 +201,16 @@ def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
             accs = jnp.where(hi_s == c, gs, accs)
         else:
             accp, accs = gp, gs
-    pairs = [accp[:, v * 128:(v + 1) * 128] for v in range(NP)]
-    symws = [accs[:, v * 128:(v + 1) * 128] for v in range(NS)]
+    pairs = [accp[:, v * L:(v + 1) * L] for v in range(NP)]
+    symws = [accs[:, v * L:(v + 1) * L] for v in range(NS)]
     return pairs, symws
 
 
-def build_sym_slabs(ft: jnp.ndarray) -> jnp.ndarray:
-    """(256, 79) fetch table -> (32, 8, 64*128) pre-broadcast symw slabs."""
+def build_sym_slabs(ft: jnp.ndarray, lanes: int = 128) -> jnp.ndarray:
+    """(256, 79) fetch table -> (32, 8, 64*lanes) pre-broadcast symw slabs."""
     symw = ft[:, 15:79].reshape(32, 8, 64)
     return jnp.broadcast_to(symw[:, :, :, None],
-                            (32, 8, 64, 128)).reshape(32, 8, 64 * 128)
+                            (32, 8, 64, lanes)).reshape(32, 8, 64 * lanes)
 
 
 def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
@@ -220,17 +223,17 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
         pairs, symws = _fetch_all(ft, ctx, markov,
                                   sparse=fetch_impl == "sparse")
     win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
-    length = jnp.ones((8, 128), jnp.int32)
+    length = jnp.ones(ctx.shape, jnp.int32)
     for lv in pairs[:14]:                       # lim[l], l = 1..14
         length += (win >= (lv & 0xFFFF)).astype(jnp.int32)
     code = win >> jnp.clip(MAX_CODE_LEN - length, 0, 31).astype(jnp.int32)
-    packed_bf = jnp.zeros((8, 128), jnp.int32)
+    packed_bf = jnp.zeros(ctx.shape, jnp.int32)
     for l, bv in enumerate(pairs, start=1):     # bf in high 16 bits
         packed_bf = jnp.where(length == l, bv, packed_bf)
     bf = packed_bf >> 16                        # arithmetic: sign ok
     idx = jnp.clip(bf + code, 0, 255)
     q = idx >> 2
-    symw = jnp.zeros((8, 128), jnp.int32)
+    symw = jnp.zeros(ctx.shape, jnp.int32)
     for qq, sv in enumerate(symws):
         symw = jnp.where(q == qq, sv, symw)
     shift = (8 * (3 - (idx & 3))).astype(jnp.uint32)
@@ -276,18 +279,20 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
     # table operand (bound via functools.partial on the ref position)
     o = pl.program_id(1)
 
+    lanes = cnts.shape[-1]
+
     @pl.when(o == 0)
     def _init():
         b0s[:] = words_ref[0, :, :, 0]
         b1s[:] = words_ref[0, :, :, 1]
         b2s[:] = words_ref[0, :, :, 2]
-        cnts[:] = jnp.full((8, 128), 96, jnp.int32)
-        wps[:] = jnp.full((8, 128), 3, jnp.int32)
-        ctxs[:] = jnp.zeros((8, 128), jnp.int32)
-        packs[:] = jnp.zeros((8, 128), jnp.uint32)
+        cnts[:] = jnp.full((8, lanes), 96, jnp.int32)
+        wps[:] = jnp.full((8, lanes), 3, jnp.int32)
+        ctxs[:] = jnp.zeros((8, lanes), jnp.int32)
+        packs[:] = jnp.zeros((8, lanes), jnp.uint32)
 
-    allw = words_ref[0]                      # (8, 128, W) uint32
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
+    allw = words_ref[0]                      # (8, lanes, W) uint32
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, lanes, W), 2)
     ft = ft_ref[:]
     ftsym = ftsym_ref[:] if ftsym_ref is not None else None
 
@@ -327,12 +332,14 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
 
 
 @partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
-                                   "out_chunk", "fetch_impl"))
+                                   "out_chunk", "fetch_impl",
+                                   "lane_tiles"))
 def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          sorted_syms, n_out: int, markov: bool = True,
                          interpret: bool = False,
                          out_chunk: int | None = None,
-                         fetch_impl: str = "chunk") -> jnp.ndarray:
+                         fetch_impl: str = "chunk",
+                         lane_tiles: int | None = None) -> jnp.ndarray:
     """Decode R unit streams of n_out symbols each.
 
     words: (R, W) uint32 bit-packed streams (padded; W from
@@ -345,11 +352,33 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     assert n_out % ochunk == 0 or n_out <= ochunk, (n_out, ochunk)
     n_sub = max(n_out, ochunk)
     W = (max(W_in, 3) + 127) // 128 * 128   # lane-aligned stream buffer
-    n_tiles_est = (R + LANES - 1) // LANES
-    est = vmem_bytes(W, ochunk, fetch_impl, n_tiles_est, n_out)
+
+    # Lane tiling: pack up to 4 classic 1024-unit tiles into the lane
+    # minor so each serial symbol step decodes 2048-4096 streams — the
+    # fetch matmuls get wider (better MXU util) and the per-step Mosaic
+    # loop overhead amortizes. Pick the widest multiple that the unit
+    # count needs and the VMEM budget allows.
+    import os
+    lt_cap = lane_tiles or int(os.environ.get("MHC_LANE_TILES", "4"))
+    lt = 1
+    for cand in (4, 2, 1):
+        if cand > lt_cap:
+            continue
+        n_super_c = -(-R // (LANES * cand))
+        if cand > 1 and R <= LANES * (cand // 2) * n_super_c:
+            continue  # would only add idle padded lanes
+        if vmem_bytes(W, ochunk, fetch_impl, n_super_c, n_out,
+                      lanes=128 * cand) <= VMEM_BUDGET:
+            lt = cand
+            break
+    L = 128 * lt
+    tile_units = LANES * lt
+    n_tiles = (R + tile_units - 1) // tile_units
+    Rp = n_tiles * tile_units
+    est = vmem_bytes(W, ochunk, fetch_impl, n_tiles, n_out, lanes=L)
     if est > VMEM_BUDGET:
         raise ValueError(
-            f"decode_blocks_pallas: stream width W={W} x {n_tiles_est} "
+            f"decode_blocks_pallas: stream width W={W} x {n_tiles} "
             f"tiles needs {est >> 20} MB scoped VMEM (> "
             f"{VMEM_BUDGET >> 20} MB budget); use the scan decoder, a "
             "smaller chunk, or a smaller decode unit")
@@ -359,38 +388,36 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
         vmem_limit_bytes=min(max(est + (est >> 1), 64 << 20), 120 << 20))
     ft = build_fetch_table(lim, base, first_code, sorted_syms)
 
-    n_tiles = (R + LANES - 1) // LANES
-    Rp = n_tiles * LANES
     if Rp != R or W != W_in:
         wpad = jnp.zeros((Rp, W), jnp.uint32)
         words = wpad.at[:R, :W_in].set(words)
-    words4 = words.reshape(n_tiles, 8, 128, W)
+    words4 = words.reshape(n_tiles, 8, L, W)
 
     grid = (n_tiles, n_sub // ochunk)
     scratch = [
-        pltpu.VMEM((8, 128), jnp.uint32),  # b0
-        pltpu.VMEM((8, 128), jnp.uint32),  # b1
-        pltpu.VMEM((8, 128), jnp.uint32),  # b2
-        pltpu.VMEM((8, 128), jnp.int32),   # cnt
-        pltpu.VMEM((8, 128), jnp.int32),   # wptr
-        pltpu.VMEM((8, 128), jnp.int32),   # ctx
-        pltpu.VMEM((8, 128), jnp.uint32),  # pack
+        pltpu.VMEM((8, L), jnp.uint32),  # b0
+        pltpu.VMEM((8, L), jnp.uint32),  # b1
+        pltpu.VMEM((8, L), jnp.uint32),  # b2
+        pltpu.VMEM((8, L), jnp.int32),   # cnt
+        pltpu.VMEM((8, L), jnp.int32),   # wptr
+        pltpu.VMEM((8, L), jnp.int32),   # ctx
+        pltpu.VMEM((8, L), jnp.uint32),  # pack
     ]
     cost = pl.CostEstimate(
         flops=int(Rp) * n_sub * 400,
         bytes_accessed=int(words4.size) * 4 + int(Rp) * n_sub,
         transcendentals=0)
-    out_spec = pl.BlockSpec((1, ochunk // 4, 8, 128),
+    out_spec = pl.BlockSpec((1, ochunk // 4, 8, L),
                             lambda t, o: (t, o, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(
-        (n_tiles, n_sub // 4, 8, 128), jnp.uint32)
+        (n_tiles, n_sub // 4, 8, L), jnp.uint32)
     ft_spec = pl.BlockSpec((256, 79), lambda t, o: (0, 0),
                            memory_space=pltpu.VMEM)
-    words_spec = pl.BlockSpec((1, 8, 128, W), lambda t, o: (t, 0, 0, 0),
+    words_spec = pl.BlockSpec((1, 8, L, W), lambda t, o: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     if fetch_impl == "slab":
-        ftsym_wide = build_sym_slabs(ft)
+        ftsym_wide = build_sym_slabs(ft, lanes=L)
 
         def kernel_slab(ft_ref, ftsym_ref, words_ref, out_ref, *scr):
             return _decode_kernel(ft_ref, words_ref, out_ref, *scr,
@@ -402,7 +429,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             grid=grid,
             in_specs=[
                 ft_spec,
-                pl.BlockSpec((32, 8, 64 * 128), lambda t, o: (0, 0, 0),
+                pl.BlockSpec((32, 8, 64 * L), lambda t, o: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 words_spec,
             ],
@@ -427,14 +454,14 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             interpret=interpret,
         )(ft, words4)
 
-    # unpack (tiles, n_sub/4, 8, 128) u32 -> (R, n_out) u8
+    # unpack (tiles, n_sub/4, 8, L) u32 -> (R, n_out) u8
     b0 = (out >> 24) & 255
     b1 = (out >> 16) & 255
     b2 = (out >> 8) & 255
     b3 = out & 255
-    syms = jnp.stack([b0, b1, b2, b3], axis=2)       # (t, n4, 4, 8, 128)
-    syms = syms.reshape(n_tiles, n_sub, 8, 128)
-    syms = jnp.moveaxis(syms, 1, -1)                 # (t, 8, 128, n_sub)
+    syms = jnp.stack([b0, b1, b2, b3], axis=2)       # (t, n4, 4, 8, L)
+    syms = syms.reshape(n_tiles, n_sub, 8, L)
+    syms = jnp.moveaxis(syms, 1, -1)                 # (t, 8, L, n_sub)
     syms = syms.reshape(Rp, n_sub)[:R, :n_out]
     return syms.astype(jnp.uint8)
 

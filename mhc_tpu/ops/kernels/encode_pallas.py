@@ -193,6 +193,103 @@ def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray,
     return words[:R, :W], nbits_r[:R]
 
 
+@partial(jax.jit, static_argnames=("max_len", "interpret"))
+def pack_blocks_to_payload(codes: jnp.ndarray, lens: jnp.ndarray,
+                           max_len: int = MAX_CODE_LEN,
+                           interpret: bool = False):
+    """Fused pack + aligned-payload compaction: bubble stream -> dense
+    4-byte-aligned payload in ONE scatter, with the per-unit word
+    offsets computed on device (exclusive cumsum of ceil(bits/32)).
+
+    Replaces pack_blocks_pallas + device_compact_words for the aligned
+    (markov) layout: skips materializing the per-unit (R, W) word
+    matrix AND the host round-trip for offsets. Returns
+    (payload (R_pad*W,) uint32, bits (R,) uint32); payload positions at
+    offsets[r]..offsets[r]+ceil(bits[r]/32) hold unit r's stream,
+    positions past offsets[-1] are zero — byte-identical to the
+    two-step path (tested)."""
+    R, n = codes.shape
+    W = words_for_block(n, max_len)
+    n_tiles = (R + LANES - 1) // LANES
+    Rp = n_tiles * LANES
+    if Rp != R:
+        codes = jnp.pad(codes, ((0, Rp - R), (0, 0)))
+        lens = jnp.pad(lens, ((0, Rp - R), (0, 0)))
+    n_pad = (n + CHUNK_STEPS - 1) // CHUNK_STEPS * CHUNK_STEPS
+    if n_pad != n:
+        codes = jnp.pad(codes, ((0, 0), (0, n_pad - n)))
+        lens = jnp.pad(lens, ((0, 0), (0, n_pad - n)))
+    n_chunks = n_pad // CHUNK_STEPS
+    codes4 = jnp.moveaxis(
+        codes.astype(jnp.uint32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
+    lens4 = jnp.moveaxis(
+        lens.astype(jnp.int32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
+    n_rounds = n_pad // 2
+    kernel = partial(_pack_kernel, out_chunk=CHUNK_STEPS,
+                     n_chunks=n_chunks)
+    bw, bv, tail, nbits = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
+                         lambda t, o: (t, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, n_rounds, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, n_rounds, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(Rp) * n_pad * 30,
+            bytes_accessed=int(codes4.size) * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(codes4, lens4)
+
+    bwr = jnp.moveaxis(bw, 1, 3).reshape(Rp, n_rounds)
+    bvr = jnp.moveaxis(bv, 1, 3).reshape(Rp, n_rounds)
+    tail_r = tail.reshape(Rp)
+    nbits_r = nbits.reshape(Rp).astype(jnp.uint32)
+
+    word_lens = ((nbits_r + 31) >> 5).astype(jnp.int32)
+    offsets = jnp.cumsum(word_lens) - word_lens          # exclusive
+    total_pad = Rp * W
+    pos = jnp.cumsum(bvr, axis=1) - 1
+    gidx = offsets[:, None] + pos
+    gidx = jnp.where(bvr > 0, gidx, total_pad)
+    payload = jnp.zeros((total_pad + 1,), jnp.uint32)
+    payload = payload.at[gidx.reshape(-1)].set(
+        bwr.reshape(-1), mode="drop")
+    nwords = (nbits_r >> 5).astype(jnp.int32)
+    has_tail = (nbits_r & 31) > 0
+    tpos = jnp.where(has_tail, offsets + nwords, total_pad)
+    payload = payload.at[tpos].set(tail_r, mode="drop")
+    return payload[:total_pad], nbits_r[:R]
+
+
 def pack_tile_reference(codes_tile: jnp.ndarray, lens_tile: jnp.ndarray):
     """Pure-jnp mirror of the kernel rounds for ONE (n, 8, 128) tile
     (step-major). Returns (bubble words (rounds,8,128), valid, tail,

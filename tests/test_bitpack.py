@@ -94,3 +94,31 @@ def test_word_marshalling_inverse():
     for i, nb in enumerate((bits + 7) // 8):
         nw = int(nb // 4)
         assert (back[i, :nw] == words[i, :nw]).all()
+
+
+def test_slice_compact_expand_match_gather_variants():
+    """Scan-of-dynamic-slices compaction/expansion must be bit-identical
+    to the flat-gather implementations."""
+    import jax.numpy as jnp
+    from mhc_tpu.ops import bitpack
+
+    rng = np.random.default_rng(123)
+    R, W = 37, 24
+    words = rng.integers(0, 2**32, (R, W), dtype=np.uint32)
+    word_lens = rng.integers(0, W + 1, R).astype(np.int32)
+    word_lens[3] = 0
+    offsets = np.zeros(R + 1, np.int32)
+    np.cumsum(word_lens, out=offsets[1:])
+    total = int(offsets[-1])
+    pad = total + 13
+    a = np.array(bitpack.device_compact_words(
+        jnp.asarray(words), jnp.asarray(offsets), pad))
+    b = np.array(bitpack.device_compact_words_slices(
+        jnp.asarray(words), jnp.asarray(offsets), pad))
+    assert (a == b).all()
+
+    ex1 = np.array(bitpack.device_expand_words_u32(
+        jnp.asarray(a), jnp.asarray(offsets), jnp.asarray(word_lens), W))
+    ex2 = np.array(bitpack.device_expand_words_slices(
+        jnp.asarray(a), jnp.asarray(offsets), jnp.asarray(word_lens), W))
+    assert (ex1 == ex2).all()

@@ -95,6 +95,24 @@ def test_pallas_plumbing_interpret():
     assert (out[:R, :n] == blocks).all()
 
 
+@pytest.mark.parametrize("markov", [True, False])
+def test_pallas_plumbing_lane_tiled_interpret(markov):
+    """R=2048 picks lane-tile 2 (8x256 lanes) — full pallas_call
+    plumbing in interpret mode, markov ctx threading across the wide
+    lane minor."""
+    rng = np.random.default_rng(7)
+    n, R = 16, 2048
+    blocks = rng.integers(60, 90, (R, n), dtype=np.uint8)
+    nv = np.full(R, n, np.int32)
+    t = _tables(blocks, nv, markov)
+    w, _ = bitpack.encode_blocks_merge(jnp.array(blocks), jnp.array(nv),
+                                       t["codes"], t["lengths"])
+    out = np.array(dp.decode_blocks_pallas(
+        w, t["lim"], t["base"], t["first_code"], t["sorted_syms"],
+        n_out=n, markov=markov, interpret=True, out_chunk=16))
+    assert (out[:R, :n] == blocks).all()
+
+
 @pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "mxu2", "slab"])
 def test_kernel_math_fetch_impls(fetch_impl):
     """Every fetch variant decodes bit-identically (pure-jnp mirror)."""
