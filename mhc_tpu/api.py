@@ -42,30 +42,14 @@ DEFAULT_DECODE_UNIT = 8192
 DEFAULT_DECODE_UNIT_ORDER0 = 16384
 
 
-def _default_hist_method() -> str:
-    env = os.environ.get("MHC_HIST_METHOD")
-    if env:
-        return env
-    platform = jax.default_backend()
-    return "scatter" if platform == "cpu" else "matmul"
+# Knob resolution lives in mhc_tpu.config (one source of truth — round-2
+# review found these defaults duplicated across api/engine/serve). The
+# _default_* names are kept as the public spelling used by benches/tests.
+from . import config as _cfg
 
-
-def _default_decode_method() -> str:
-    env = os.environ.get("MHC_DECODE_METHOD")
-    if env:
-        return env
-    # the Mosaic kernel runs the whole symbol loop on-chip (4x the XLA
-    # scan on v5e); scan is the portable fallback for cpu/gpu backends
-    return "pallas" if jax.default_backend() == "tpu" else "scan"
-
-
-def _default_pack_method() -> str:
-    env = os.environ.get("MHC_PACK_METHOD")
-    if env:
-        return env
-    # bubble-stream Mosaic packer beats the doubling merge on v5e
-    # (0.24 vs 0.29 s per 32 MB incl. lookup — bench/stages.py)
-    return "pallas" if jax.default_backend() == "tpu" else "merge"
+_default_hist_method = _cfg.hist_method
+_default_decode_method = _cfg.decode_method
+_default_pack_method = _cfg.pack_method
 
 
 def blockify(data: bytes | np.ndarray, block_size: int):
@@ -350,7 +334,8 @@ def decompress(blob: bytes, verify: bool = True,
     device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
     byte_lens_all = meta.byte_lengths.astype(np.int64)
     R = len(byte_lens_all)
-    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "mxu2")  # 2.1x chunk on v5e
+    fetch_impl = _cfg.fetch_impl()
+    refill = _cfg.refill_impl()
     # Stream buffer width: the worst case (15 bits/symbol) pads every unit
     # to ~1.9x the decode unit, but the Mosaic kernel keeps the whole
     # (8, 128, W) tile stream in VMEM — size it by the container's actual
@@ -380,7 +365,8 @@ def decompress(blob: bytes, verify: bool = True,
             return decode_pallas.decode_blocks_pallas(
                 words_d, tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
-                n_out=du, markov=model.markov, fetch_impl=fetch_impl)
+                n_out=du, markov=model.markov, fetch_impl=fetch_impl,
+                refill=refill, lane_tiles=_cfg.lane_tiles_cap())
         return bitpack.decode_blocks(
             words_d, jnp.asarray(nv_h),
             tables["lim"], tables["base"], tables["first_code"],

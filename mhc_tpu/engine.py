@@ -187,8 +187,9 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
     tables = model.tables_from_lengths(jnp.asarray(enc.lengths, jnp.int32))
     du = enc.decode_unit
     C = enc.chunk
-    import os
-    fetch_impl = os.environ.get("MHC_FETCH_IMPL", "mxu2")  # 2.1x chunk on v5e
+    from . import config as _cfg
+    fetch_impl = _cfg.fetch_impl()
+    refill = _cfg.refill_impl()
     W_worst = bitpack.words_for_block(du)
     max_wl = -(-int(enc.byte_lens.max()) // 4) if enc.n_units else 0
     W = min(W_worst, max(-(-(max_wl + 1) // 128) * 128, 128))
@@ -211,8 +212,7 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
         np.cumsum(lens, out=offsets[1:])
         if aligned:
             expand = (bitpack.device_expand_words_slices
-                      if os.environ.get("MHC_EXPAND_IMPL",
-                                        "slices") == "slices"
+                      if _cfg.expand_impl() == "slices"
                       else bitpack.device_expand_words_u32)
             words_d = expand(
                 payload_d, jnp.asarray(offsets), jnp.asarray(lens), W)
@@ -224,7 +224,8 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
             out = decode_pallas.decode_blocks_pallas(
                 words_d, tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
-                n_out=du, markov=model.markov, fetch_impl=fetch_impl)
+                n_out=du, markov=model.markov, fetch_impl=fetch_impl,
+                refill=refill, lane_tiles=_cfg.lane_tiles_cap())
         else:
             nv = np.full(C, du, dtype=np.int32)
             nv[hi - lo:] = 0

@@ -45,6 +45,18 @@ from ..bitpack import words_for_block
 LANES = 1024          # units decoded per grid tile (8 sublanes x 128 lanes)
 OUT_CHUNK = 512       # symbols per output DMA chunk (multiple of 4)
 
+# Grouped refill (round 3): the round-2 kernel re-scanned the whole
+# W-deep stream buffer with an iota-compare masked sum on EVERY refill
+# (~1.5*W elem-ops per symbol — at W=1664 that was ~half of decode
+# time). The v2 refill keeps a per-lane 2*GRP-word lookahead window in
+# VMEM scratch, refetched from the stream buffer once per GRP
+# iterations (a lane consumes at most one word per iteration, so the
+# window always covers the next GRP reads), and serves each refill word
+# from the window with a cheap two-level select.
+GRP = 32              # aligned fetch group (words); sync period (iters)
+LOG2GRP = 5
+WINDOW = 2 * GRP      # per-lane lookahead (current + next group)
+
 # v5e has 128 MB of VMEM/core but XLA's default *scoped* budget for a
 # custom call is 16 MB — round 1's bench died on exactly that check
 # (BENCH_r01: "18.50M ... limit 16.00M"). We account for every buffer the
@@ -67,8 +79,9 @@ def vmem_bytes(W: int, out_chunk: int = OUT_CHUNK,
     out_full = n_tiles * 8 * lanes * max(n_out, out_chunk)
     ft = 2 * 256 * 79 * 4
     slab = 2 * 32 * 8 * 64 * lanes * 4 if fetch_impl == "slab" else 0
+    window = 8 * lanes * WINDOW * 4 + 8 * lanes * 8 * 4   # group refill
     scratch = 7 * 8 * lanes * 4
-    return (words + out_blocks + out_full + ft + slab + scratch
+    return (words + out_blocks + out_full + ft + slab + window + scratch
             + (2 << 20))
 
 
@@ -169,6 +182,34 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
     return pairs, symws
 
 
+def _fetch_all_mxu3(ft, ctx, markov: bool):
+    """mxu2 with the four 8-bit planes STACKED into one (256, 316)
+    operand so the whole row fetch is a single MXU dispatch per symbol
+    instead of four. The per-iteration cost of the decode loop is
+    dominated by the serial dependency chain (ctx -> one-hot -> matmul
+    -> length resolve -> sym -> next ctx), so fewer, larger matmuls cut
+    wall time even at identical FLOPs. Plane math identical to mxu2
+    (8-bit planes exact in bf16; k=3 shift wraps modularly in int32)."""
+    if not markov:
+        return _fetch_all(ft, ctx, markov)
+    L = ctx.shape[-1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, L), 0)
+    oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
+    planes = jnp.concatenate(
+        [((ft >> (8 * k)) & 255).astype(jnp.bfloat16) for k in range(4)],
+        axis=1)                                  # (256, 4*79)
+    dn = (((0,), (0,)), ((), ()))
+    x = jax.lax.dot_general(planes, oh, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+    acc = None
+    for k in range(4):
+        v = x[k * 79:(k + 1) * 79].astype(jnp.int32) << (8 * k)
+        acc = v if acc is None else acc | v
+    pairs = [acc[v] for v in _PAIR_COLS]
+    symws = [acc[v] for v in _SYM_COLS]
+    return pairs, symws
+
+
 def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
     """Slab variant: symw columns come pre-broadcast as (32, 8, 64*128)
     so the symbol loop does only gather+select per chunk (the in-kernel
@@ -217,6 +258,8 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
                 fetch_impl: str = "chunk", ftsym_wide=None):
     if fetch_impl == "slab":
         pairs, symws = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
+    elif fetch_impl == "mxu3":
+        pairs, symws = _fetch_all_mxu3(ft, ctx, markov)
     elif fetch_impl in ("mxu", "mxu2"):
         pairs, symws = _fetch_all_mxu2(ft, ctx, markov)
     else:
@@ -248,15 +291,10 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
     return b0, b1, b2, cnt, sym
 
 
-def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
+def _insert32(word, b0, b1, b2, cnt, wp):
+    """Insert `word` (32 bits) at bit offset cnt of the 96-bit buffer
+    when cnt <= 64; advance wp by one word when taken."""
     need = cnt <= 64
-    sel = w_iota == wp[:, :, None]
-    # Mosaic can't reduce unsigned ints; i32 view is bit-exact (one
-    # nonzero addend per lane, two's complement)
-    allw_i = allw.astype(jnp.int32)
-    word = jnp.sum(jnp.where(sel, allw_i, jnp.int32(0)),
-                   axis=2).astype(jnp.uint32)
-    # insert 32 bits at bit offset cnt (cnt <= 64 when taken)
     bs = [b0, b1, b2]
     for i in range(3):
         rel = cnt - 32 * i
@@ -271,10 +309,52 @@ def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
     return bs[0], bs[1], bs[2], cnt, wp
 
 
+def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
+    sel = w_iota == wp[:, :, None]
+    # Mosaic can't reduce unsigned ints; i32 view is bit-exact (one
+    # nonzero addend per lane, two's complement)
+    allw_i = allw.astype(jnp.int32)
+    word = jnp.sum(jnp.where(sel, allw_i, jnp.int32(0)),
+                   axis=2).astype(jnp.uint32)
+    return _insert32(word, b0, b1, b2, cnt, wp)
+
+
+def _window_fill(allw_i, wp, lanes: int, W: int):
+    """Compute the (8, lanes, WINDOW) lookahead window for per-lane word
+    pointer wp: slots 0..GRP-1 hold the GRP-aligned group containing wp,
+    slots GRP..2*GRP-1 the next group. Groups past the end of the stream
+    buffer stay ZERO (g0+1 is deliberately NOT clamped), which makes the
+    window-served word bit-identical to the scan refill's masked sum for
+    every wp — including lanes already past their stream end."""
+    g0 = wp >> LOG2GRP
+    g0w = jnp.broadcast_to(g0[:, :, None], (8, lanes, GRP))
+    acc0 = jnp.zeros((8, lanes, GRP), jnp.int32)
+    acc1 = jnp.zeros((8, lanes, GRP), jnp.int32)
+    for g in range(W // GRP):
+        slab = allw_i[:, :, g * GRP:(g + 1) * GRP]
+        acc0 = jnp.where(g0w == g, slab, acc0)
+        acc1 = jnp.where(g0w == (g - 1), slab, acc1)   # g == g0 + 1
+    return jnp.concatenate([acc0, acc1], axis=2), g0
+
+
+def _refill_window(win, gb, w64_iota, b0, b1, b2, cnt, wp):
+    """Serve the refill word from the VMEM lookahead window: one
+    WINDOW-deep masked sum instead of the W-deep stream scan (a lane
+    consumes at most one word per iteration, so a window synced every
+    GRP iterations always covers the next read)."""
+    o = wp - (gb << LOG2GRP)
+    ow = jnp.broadcast_to(o[:, :, None], w64_iota.shape)
+    word = jnp.sum(jnp.where(w64_iota == ow, win, jnp.int32(0)),
+                   axis=2).astype(jnp.uint32)
+    return _insert32(word, b0, b1, b2, cnt, wp)
+
+
 def _decode_kernel(ft_ref, words_ref, out_ref,
                    b0s, b1s, b2s, cnts, wps, ctxs, packs,
+                   wins=None, gbs=None,
                    *, W: int, out_chunk: int, markov: bool,
-                   fetch_impl: str, ftsym_ref=None):
+                   fetch_impl: str, refill: str = "group",
+                   ftsym_ref=None):
     # slab variant passes the pre-broadcast symw slabs as a second
     # table operand (bound via functools.partial on the ref position)
     o = pl.program_id(1)
@@ -292,13 +372,28 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
         packs[:] = jnp.zeros((8, lanes), jnp.uint32)
 
     allw = words_ref[0]                      # (8, lanes, W) uint32
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, lanes, W), 2)
     ft = ft_ref[:]
     ftsym = ftsym_ref[:] if ftsym_ref is not None else None
+    if refill == "group":
+        allw_i = allw.astype(jnp.int32)
+        w64_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (8, lanes, WINDOW), 2)
+    else:
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, lanes, W), 2)
 
     def iter_body(i, carry):
         b0, b1, b2, cnt, wp, ctx, pack = carry
-        b0, b1, b2, cnt, wp = _refill(allw, w_iota, b0, b1, b2, cnt, wp)
+        if refill == "group":
+            @pl.when(i % GRP == 0)
+            def _sync():
+                win, g0 = _window_fill(allw_i, wp, lanes, W)
+                wins[:] = win
+                gbs[:] = g0
+            b0, b1, b2, cnt, wp = _refill_window(
+                wins[:], gbs[:], w64_iota, b0, b1, b2, cnt, wp)
+        else:
+            b0, b1, b2, cnt, wp = _refill(allw, w_iota,
+                                          b0, b1, b2, cnt, wp)
         t0 = 2 * i
         for t_off in range(2):
             b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
@@ -333,13 +428,14 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
                                    "out_chunk", "fetch_impl",
-                                   "lane_tiles"))
+                                   "lane_tiles", "refill"))
 def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          sorted_syms, n_out: int, markov: bool = True,
                          interpret: bool = False,
                          out_chunk: int | None = None,
                          fetch_impl: str = "chunk",
-                         lane_tiles: int | None = None) -> jnp.ndarray:
+                         lane_tiles: int | None = None,
+                         refill: str = "group") -> jnp.ndarray:
     """Decode R unit streams of n_out symbols each.
 
     words: (R, W) uint32 bit-packed streams (padded; W from
@@ -358,8 +454,12 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     # fetch matmuls get wider (better MXU util) and the per-step Mosaic
     # loop overhead amortizes. Pick the widest multiple that the unit
     # count needs and the VMEM budget allows.
-    import os
-    lt_cap = lane_tiles or int(os.environ.get("MHC_LANE_TILES", "4"))
+    # lane_tiles is a CAP, not a forced value: the idle-lane and VMEM
+    # checks below may still pick a smaller multiple. Callers should
+    # resolve the env knob via mhc_tpu.config and pass it explicitly —
+    # the fallback here freezes at first trace per static-arg combo.
+    from ... import config as _cfg
+    lt_cap = lane_tiles or _cfg.lane_tiles_cap()
     lt = 1
     for cand in (4, 2, 1):
         if cand > lt_cap:
@@ -403,6 +503,11 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
         pltpu.VMEM((8, L), jnp.int32),   # ctx
         pltpu.VMEM((8, L), jnp.uint32),  # pack
     ]
+    if refill == "group":
+        scratch += [
+            pltpu.VMEM((8, L, WINDOW), jnp.int32),  # lookahead window
+            pltpu.VMEM((8, L), jnp.int32),          # window group base
+        ]
     cost = pl.CostEstimate(
         flops=int(Rp) * n_sub * 400,
         bytes_accessed=int(words4.size) * 4 + int(Rp) * n_sub,
@@ -422,7 +527,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
         def kernel_slab(ft_ref, ftsym_ref, words_ref, out_ref, *scr):
             return _decode_kernel(ft_ref, words_ref, out_ref, *scr,
                                   W=W, out_chunk=ochunk, markov=markov,
-                                  fetch_impl="slab", ftsym_ref=ftsym_ref)
+                                  fetch_impl="slab", refill=refill,
+                                  ftsym_ref=ftsym_ref)
 
         out = pl.pallas_call(
             kernel_slab,
@@ -443,7 +549,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     else:
         out = pl.pallas_call(
             partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
-                    fetch_impl=fetch_impl),
+                    fetch_impl=fetch_impl, refill=refill),
             grid=grid,
             in_specs=[ft_spec, words_spec],
             out_specs=out_spec,
