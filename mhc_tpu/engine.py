@@ -153,7 +153,15 @@ def encode(st: Staged, hist_method: str | None = None,
         if aligned:
             lens = lens // 4
         if fused:
-            payload_n.append(int(lens.sum()))
+            total = int(lens.sum())
+            # the fused kernel writes into a worst-case Rp*W buffer
+            # (~1.9x input bytes); slice it to the granularity-padded
+            # true size so the EncodeResult doesn't pin ~3-4x the
+            # compressed size in HBM for its lifetime (ADVICE r2)
+            pad = max(-(-total // (1 << 18)) << 18, 1 << 18)
+            if payload[k].shape[0] > pad:
+                payload[k] = payload[k][:pad]
+            payload_n.append(total)
             continue
         offsets = np.zeros(len(lens) + 1, np.int32)
         np.cumsum(lens, out=offsets[1:])

@@ -144,9 +144,12 @@ def _fetch_all(ft, ctx, markov: bool, sparse: bool = False):
             acc = jax.lax.cond(jnp.any(hi == c), taken, lambda a: a, acc)
         else:
             acc = taken(acc)
-    vals = [acc[:, v * L:(v + 1) * L] for v in (_PAIR_COLS + _SYM_COLS)]
     np_ = len(_PAIR_COLS)
-    return vals[:np_], vals[np_:]
+    # lane-minor (8, NV*L) layout: the value axis lives inside the lane
+    # dim, so the resolve stages use the legacy per-value select chain
+    # (vax=1); the mxu fetches return (NV, 8, L) stacks whose resolve
+    # runs as wide vreg ops (vax=0) — the TPU fast path
+    return acc[:, :np_ * L], acc[:, np_ * L:], 1
 
 
 def _fetch_all_mxu2(ft, ctx, markov: bool):
@@ -163,7 +166,7 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
     f32 matmuls run as bf16 passes, which are not exact above 2^8 —
     hence 8-bit planes.)"""
     if not markov:
-        return _fetch_all(ft, ctx, markov)
+        return _fetch_order0(ft, ctx)
     L = ctx.shape[-1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, L), 0)
     oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
@@ -177,9 +180,19 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
         # modularly in int32, which reproduces the original bit pattern
         v = xk.astype(jnp.int32) << (8 * k)
         acc = v if acc is None else acc | v
-    pairs = [acc[v] for v in _PAIR_COLS]
-    symws = [acc[v] for v in _SYM_COLS]
-    return pairs, symws
+    np_ = len(_PAIR_COLS)
+    return acc[:np_], acc[np_:], 0      # stacked (NV, 8, L), value axis 0
+
+
+def _fetch_order0(ft, ctx):
+    """Order-0 'fetch': every lane uses context 0, so the (79,) row
+    broadcasts to a loop-invariant (79, 8, L) stack (hoisted out of the
+    symbol loop by Mosaic) and the resolve runs the WIDE vax=0 path."""
+    L = ctx.shape[-1]
+    NV = 79
+    acc = jnp.broadcast_to(ft[0][:, None, None], (NV, 8, L))
+    np_ = len(_PAIR_COLS)
+    return acc[:np_], acc[np_:], 0
 
 
 def _fetch_all_mxu3(ft, ctx, markov: bool):
@@ -191,7 +204,7 @@ def _fetch_all_mxu3(ft, ctx, markov: bool):
     wall time even at identical FLOPs. Plane math identical to mxu2
     (8-bit planes exact in bf16; k=3 shift wraps modularly in int32)."""
     if not markov:
-        return _fetch_all(ft, ctx, markov)
+        return _fetch_order0(ft, ctx)
     L = ctx.shape[-1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, L), 0)
     oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
@@ -205,9 +218,8 @@ def _fetch_all_mxu3(ft, ctx, markov: bool):
     for k in range(4):
         v = x[k * 79:(k + 1) * 79].astype(jnp.int32) << (8 * k)
         acc = v if acc is None else acc | v
-    pairs = [acc[v] for v in _PAIR_COLS]
-    symws = [acc[v] for v in _SYM_COLS]
-    return pairs, symws
+    np_ = len(_PAIR_COLS)
+    return acc[:np_], acc[np_:], 0      # stacked (NV, 8, L), value axis 0
 
 
 def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
@@ -242,9 +254,7 @@ def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
             accs = jnp.where(hi_s == c, gs, accs)
         else:
             accp, accs = gp, gs
-    pairs = [accp[:, v * L:(v + 1) * L] for v in range(NP)]
-    symws = [accs[:, v * L:(v + 1) * L] for v in range(NS)]
-    return pairs, symws
+    return accp, accs, 1
 
 
 def build_sym_slabs(ft: jnp.ndarray, lanes: int = 128) -> jnp.ndarray:
@@ -254,18 +264,38 @@ def build_sym_slabs(ft: jnp.ndarray, lanes: int = 128) -> jnp.ndarray:
                             (32, 8, 64, lanes)).reshape(32, 8, 64 * lanes)
 
 
-def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
-                fetch_impl: str = "chunk", ftsym_wide=None):
-    if fetch_impl == "slab":
-        pairs, symws = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
-    elif fetch_impl == "mxu3":
-        pairs, symws = _fetch_all_mxu3(ft, ctx, markov)
-    elif fetch_impl in ("mxu", "mxu2"):
-        pairs, symws = _fetch_all_mxu2(ft, ctx, markov)
-    else:
-        pairs, symws = _fetch_all(ft, ctx, markov,
-                                  sparse=fetch_impl == "sparse")
-    win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
+def _resolve_wide(pairs, symws, win, ctx):
+    """Resolve (length, sym-word, idx) from (NV, 8, L) value stacks with
+    WIDE vreg ops: one broadcast-compare + tree-reduce per stage instead
+    of a chain of NV tiny (8, L) ops (each tiny op costs ~30-60 cycles
+    of loop-body overhead on Mosaic — measured round 3; the wide form
+    runs at ~1 cycle/vreg). Masked sums are bit-exact: exactly one
+    value matches per lane (length in [1,15]; q = idx>>2 in [0,64))."""
+    NP = pairs.shape[0]
+    lim = pairs[:14] & 0xFFFF                       # (14, 8, L)
+    winw = jnp.broadcast_to(win[None], lim.shape)
+    length = 1 + jnp.sum((winw >= lim).astype(jnp.int32), axis=0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, pairs.shape, 0) + 1
+    lw = jnp.broadcast_to(length[None], pairs.shape)
+    packed_bf = jnp.sum(jnp.where(liota == lw, pairs, 0), axis=0)
+    bf = packed_bf >> 16                            # arithmetic: sign ok
+    code = win >> jnp.clip(MAX_CODE_LEN - length, 0, 31).astype(jnp.int32)
+    idx = jnp.clip(bf + code, 0, 255)
+    q = idx >> 2
+    qiota = jax.lax.broadcasted_iota(jnp.int32, symws.shape, 0)
+    qw = jnp.broadcast_to(q[None], symws.shape)
+    symw = jnp.sum(jnp.where(qiota == qw, symws, 0), axis=0)
+    return length, idx, symw
+
+
+def _resolve_lanes(pairs_w, symws_w, win, ctx):
+    """Legacy resolve for the lane-minor (8, NV*L) fetch layout
+    (chunk/sparse/slab variants): per-value select chain."""
+    L = ctx.shape[-1]
+    NP = pairs_w.shape[-1] // L
+    pairs = [pairs_w[:, v * L:(v + 1) * L] for v in range(NP)]
+    symws = [symws_w[:, v * L:(v + 1) * L]
+             for v in range(symws_w.shape[-1] // L)]
     length = jnp.ones(ctx.shape, jnp.int32)
     for lv in pairs[:14]:                       # lim[l], l = 1..14
         length += (win >= (lv & 0xFFFF)).astype(jnp.int32)
@@ -279,6 +309,23 @@ def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
     symw = jnp.zeros(ctx.shape, jnp.int32)
     for qq, sv in enumerate(symws):
         symw = jnp.where(q == qq, sv, symw)
+    return length, idx, symw
+
+
+def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
+                fetch_impl: str = "chunk", ftsym_wide=None):
+    if fetch_impl == "slab":
+        pairs, symws, vax = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
+    elif fetch_impl == "mxu3":
+        pairs, symws, vax = _fetch_all_mxu3(ft, ctx, markov)
+    elif fetch_impl in ("mxu", "mxu2"):
+        pairs, symws, vax = _fetch_all_mxu2(ft, ctx, markov)
+    else:
+        pairs, symws, vax = _fetch_all(ft, ctx, markov,
+                                       sparse=fetch_impl == "sparse")
+    win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
+    resolve = _resolve_wide if vax == 0 else _resolve_lanes
+    length, idx, symw = resolve(pairs, symws, win, ctx)
     shift = (8 * (3 - (idx & 3))).astype(jnp.uint32)
     sym = (symw.astype(jnp.uint32) >> shift).astype(jnp.int32) & 255
     # consume `length` bits
@@ -428,14 +475,15 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
                                    "out_chunk", "fetch_impl",
-                                   "lane_tiles", "refill"))
+                                   "lane_tiles", "refill", "raw_out"))
 def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          sorted_syms, n_out: int, markov: bool = True,
                          interpret: bool = False,
                          out_chunk: int | None = None,
                          fetch_impl: str = "chunk",
                          lane_tiles: int | None = None,
-                         refill: str = "group") -> jnp.ndarray:
+                         refill: str = "group",
+                         raw_out: bool = False) -> jnp.ndarray:
     """Decode R unit streams of n_out symbols each.
 
     words: (R, W) uint32 bit-packed streams (padded; W from
@@ -560,6 +608,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             interpret=interpret,
         )(ft, words4)
 
+    if raw_out:
+        return out   # (tiles, n_sub/4, 8, L) u32 — timing/diagnostics
     # unpack (tiles, n_sub/4, 8, L) u32 -> (R, n_out) u8
     b0 = (out >> 24) & 255
     b1 = (out >> 16) & 255

@@ -34,6 +34,8 @@ class _State:
         self.bytes_in = 0
         self.bytes_out = 0
         self.errors = 0
+        self.codec_seconds = 0.0
+        self.codec_bytes = 0
 
 
 STATE = _State()
@@ -62,6 +64,10 @@ class Handler(BaseHTTPRequestHandler):
                 "bytes_in": STATE.bytes_in,
                 "bytes_out": STATE.bytes_out,
                 "errors": STATE.errors,
+                "codec_seconds": round(STATE.codec_seconds, 3),
+                "codec_MBps": round(
+                    STATE.codec_bytes / STATE.codec_seconds / 1e6, 2)
+                if STATE.codec_seconds else None,
             }).encode(), "application/json")
         elif urlparse(self.path).path == "/healthz":
             self._reply(200, b"ok", "text/plain")
@@ -75,6 +81,7 @@ class Handler(BaseHTTPRequestHandler):
         data = self.rfile.read(n)
         STATE.requests += 1
         STATE.bytes_in += len(data)
+        t0 = time.perf_counter()
         try:
             if url.path == "/compress":
                 mode = q.get("mode", ["markov"])[0]
@@ -82,7 +89,11 @@ class Handler(BaseHTTPRequestHandler):
                 with STATE.lock:
                     out = api.compress(data, mode=mode, block_size=block_size)
             elif url.path == "/decompress":
-                method = q.get("method", ["scan"])[0]
+                # decode method defaults to the PLATFORM default (pallas
+                # kernel on TPU) — round-2 review: the old hard-coded
+                # "scan" served the slowest path unless every client
+                # opted in via ?method=pallas
+                method = q.get("method", [None])[0]
                 with STATE.lock:
                     out = api.decompress(data, decode_method=method)
             else:
@@ -92,8 +103,18 @@ class Handler(BaseHTTPRequestHandler):
             STATE.errors += 1
             self._reply(400, str(e).encode(), "text/plain")
             return
+        dt = time.perf_counter() - t0
+        codec_bytes = max(len(data), len(out))  # uncompressed side
         STATE.bytes_out += len(out)
-        self._reply(200, out)
+        STATE.codec_seconds += dt
+        STATE.codec_bytes += codec_bytes
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(out)))
+        self.send_header("X-MHC-Seconds", f"{dt:.4f}")
+        self.send_header("X-MHC-MBps", f"{codec_bytes / dt / 1e6:.2f}")
+        self.end_headers()
+        self.wfile.write(out)
 
 
 def warmup(block_size: int = api.DEFAULT_BLOCK_SIZE) -> None:

@@ -86,3 +86,19 @@ def test_rescale_jax_matches_numpy():
         a = huffman.rescale_counts(counts)
         b = np.array(huffman.rescale_counts_jax(counts))
         assert (a == b).all()
+
+
+def test_sharded_pallas_decode_matches_scan(mesh8):
+    """Round-3: the sharded decoder can run the Mosaic kernel per shard
+    (interpret mode on the CPU mesh) — must be byte-identical to the
+    scan path and to the original input."""
+    data = mixed_binary(300_000, seed=21)
+    blob = pipeline.compress_sharded(data, mesh8, mode="markov",
+                                     block_size=4096)
+    out_scan = pipeline.decompress_sharded(blob, mesh8,
+                                           decode_method="scan")
+    out_pallas = pipeline.decompress_sharded(blob, mesh8,
+                                             decode_method="pallas",
+                                             interpret=True)
+    assert out_scan == data
+    assert out_pallas == data

@@ -47,3 +47,21 @@ def test_stats_and_health(server):
     with urllib.request.urlopen(server + "/stats", timeout=30) as r:
         st = json.loads(r.read())
     assert st["requests"] >= 2
+
+
+def test_decompress_uses_platform_default_and_reports_rate(server):
+    """Round-3: /decompress with no ?method must follow the platform
+    default (pallas on TPU, scan on CPU) instead of hard-coded scan,
+    and every codec response carries a throughput header."""
+    data = english_like(30_000, seed=56)
+    blob = _post(server + "/compress?mode=markov&block_size=4096", data)
+    req = urllib.request.Request(server + "/decompress", data=blob,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.read() == data
+        assert float(r.headers["X-MHC-Seconds"]) > 0
+        assert float(r.headers["X-MHC-MBps"]) > 0
+    import json
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["codec_seconds"] > 0 and st["codec_MBps"] > 0
