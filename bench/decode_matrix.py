@@ -119,10 +119,16 @@ def main() -> int:
           refill="scan", raw_out=True)
     timed("order0_group_raw", markov=False, fetch_impl="chunk",
           refill="group", raw_out=True)
-    timed("mxu2_group_raw_oc2048", markov=True, fetch_impl="mxu2",
-          refill="group", raw_out=True, out_chunk=2048)
-    timed("mxu2_group_raw_lt2", markov=True, fetch_impl="mxu2",
-          refill="group", raw_out=True, lane_tiles=2)
+    timed("mxu2_group_raw_u16", markov=True, fetch_impl="mxu2",
+          refill="group", raw_out=True, unroll=16)
+    timed("mxu2_group_raw_u32", markov=True, fetch_impl="mxu2",
+          refill="group", raw_out=True, unroll=32)
+    timed("order0_group_raw_u16", markov=False, fetch_impl="chunk",
+          refill="group", raw_out=True, unroll=16)
+    timed("order0_group_raw_u32", markov=False, fetch_impl="chunk",
+          refill="group", raw_out=True, unroll=32)
+    timed("mxu3_group_raw_u16", markov=True, fetch_impl="mxu3",
+          refill="group", raw_out=True, unroll=16)
     print(json.dumps(res), flush=True)
     return 0
 

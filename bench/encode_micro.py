@@ -23,12 +23,24 @@ import numpy as np  # noqa: E402
 
 
 def timed(fn, reps=3):
+    # block_until_ready returns EARLY for warm Mosaic dispatches through
+    # the relay — force a host scalar that depends on every jax leaf
     import jax
-    jax.block_until_ready(fn())   # compile
+    import jax.numpy as jnp
+
+    def run():
+        out = fn()
+        for leaf in jax.tree_util.tree_leaves(out):
+            if isinstance(leaf, jax.Array) and leaf.size:
+                int(jnp.sum(leaf.reshape(-1)[:: max(leaf.size // 4096, 1)]
+                            .astype(jnp.int32)))
+        return out
+
+    run()   # compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        run()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -64,8 +76,22 @@ def main() -> int:
         print(f"[enc-micro] {name}: {s:.5f}s "
               f"({chunk_bytes / s / 1e9:.3f} GB/s of input)", flush=True)
 
-    # 1. XLA gather lookup
-    report("lookup_gather", timed(lambda: api.lookup_codes(ud, nvd, tables)))
+    # 1. lookup variants (direct impl calls — the env knob freezes at
+    # first trace inside the jitted dispatch)
+    from mhc_tpu.ops import bitpack as bp
+    packed_t = ((tables["lengths"].astype(jnp.uint32) << 16)
+                | tables["codes"].astype(jnp.uint32))
+    data_i = ud.astype(jnp.int32)
+    prev_i = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.int32), data_i[:, :-1]], axis=1)
+    report("lookup_flat_gather", timed(jax.jit(
+        lambda: bp._flat_gather(packed_t, prev_i, data_i))))
+    report("lookup_bilinear_bf16", timed(jax.jit(
+        lambda: bp._bilinear_lookup(packed_t, prev_i, data_i))))
+    report("lookup_bilinear_int8", timed(jax.jit(
+        lambda: bp._bilinear_lookup_i8(packed_t, prev_i, data_i))))
+    report("lookup_cl_default", timed(
+        lambda: api.lookup_cl(ud, nvd, tables)))
     codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
     jax.block_until_ready(codes_l)
 

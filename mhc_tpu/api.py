@@ -83,15 +83,23 @@ def build_tables(model, blocks: np.ndarray, n_valid: np.ndarray,
 @jax.jit
 def lookup_codes(units, n_valid, tables):
     """Per-symbol (code, len) lookup — flat XLA gathers (~10 G/s on TPU)."""
+    cl = lookup_cl(units, n_valid, tables)
+    return ((cl & 0xFFFF).astype(jnp.uint32),
+            (cl >> 16).astype(jnp.int32))
+
+
+@jax.jit
+def lookup_cl(units, n_valid, tables):
+    """Per-symbol PACKED (len<<16 | code) u32 lookup — the form the
+    Pallas pack kernel consumes (half the HBM traffic of code+len)."""
     data = units.astype(jnp.int32)
     B, n = data.shape
     prev = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), data[:, :-1]], axis=1)
-    codes, lens = bitpack._gather_codes_lens(
+    cl = bitpack._gather_packed(
         tables["codes"], tables["lengths"], prev, data)
     valid = jnp.arange(n)[None, :] < n_valid[:, None]
-    return (jnp.where(valid, codes, 0),
-            jnp.where(valid, lens, 0))
+    return jnp.where(valid, cl, jnp.uint32(0))
 
 
 def resolve_decode_unit(block_size: int, decode_unit: int | None,
@@ -219,9 +227,8 @@ def compress(data: bytes, mode: str = "markov",
         for ud, nvd in devs:
             if pack_method == "pallas":
                 from .ops.kernels import encode_pallas
-                codes_l, lens_l = lookup_codes(ud, nvd, tables)
                 words, bits = encode_pallas.pack_blocks_pallas(
-                    codes_l, lens_l)
+                    lookup_cl(ud, nvd, tables))
             else:
                 encode = (bitpack.encode_blocks_merge
                           if pack_method == "merge"

@@ -69,5 +69,12 @@ def lane_tiles_cap() -> int:
     return int(os.environ.get("MHC_LANE_TILES", "4"))
 
 
+def unroll() -> int:
+    # symbols decoded per Mosaic loop iteration: the fori_loop costs
+    # ~6.5 us/iter in FIXED overhead on this toolchain (bench/
+    # loop_calib.py), so unrolling is ~linear win until body ops dominate
+    return int(os.environ.get("MHC_UNROLL", "8"))
+
+
 def compact_impl() -> str:
     return os.environ.get("MHC_COMPACT_IMPL", "gather")

@@ -125,18 +125,17 @@ def encode(st: Staged, hist_method: str | None = None,
     for ud, nvd in zip(st.units, st.n_valid):
         if pack_method == "pallas":
             from .ops.kernels import encode_pallas
-            codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
+            cl = api.lookup_cl(ud, nvd, tables)   # packed (len<<16|code)
             if fused:
                 # fused pack+compaction: dense aligned payload straight
                 # from the bubble stream, offsets on device — no host
                 # round-trip between pack and compaction
-                pay, bits = encode_pallas.pack_blocks_to_payload(
-                    codes_l, lens_l)
+                pay, bits = encode_pallas.pack_blocks_to_payload(cl)
                 payload.append(pay)
                 packed.append((None, bits))
                 bits.copy_to_host_async()
                 continue
-            words, bits = encode_pallas.pack_blocks_pallas(codes_l, lens_l)
+            words, bits = encode_pallas.pack_blocks_pallas(cl)
         else:
             enc = (bitpack.encode_blocks_merge if pack_method == "merge"
                    else bitpack.encode_blocks)

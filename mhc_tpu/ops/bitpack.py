@@ -83,6 +83,44 @@ def _bilinear_lookup(packed_t: jnp.ndarray, prev: jnp.ndarray,
     return packed.reshape(-1)[:N].reshape(shape)
 
 
+def _bilinear_lookup_i8(packed_t: jnp.ndarray, prev: jnp.ndarray,
+                        cur: jnp.ndarray) -> jnp.ndarray:
+    """_bilinear_lookup with three 7-bit int8 planes (values < 2^21)
+    on the v5e int8 MXU path: 3/4 the matmuls of the bf16 variant and
+    half the one-hot HBM traffic (int8 vs bf16). Exact: one-hot rows
+    have a single 1 and int32 accumulation carries no rounding."""
+    shape = prev.shape
+    p = prev.reshape(-1)
+    c = cur.reshape(-1)
+    N = p.shape[0]
+    CH = min(_LOOKUP_CHUNK, max(N, 1))
+    pad = (-N) % CH
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
+        c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+    planes = [((packed_t.reshape(-1, 256) >> (7 * k)) & 127)
+              .astype(jnp.int8) for k in range(3)]
+    iota = jnp.arange(256, dtype=jnp.int32)
+
+    def body(pc):
+        pk, ck = pc
+        ohp = (pk[:, None] == iota[None, :]).astype(jnp.int8)
+        ohc = (ck[:, None] == iota[None, :]).astype(jnp.int32)
+        acc = jnp.zeros((CH,), jnp.uint32)
+        for k, plane in enumerate(planes):
+            x = jax.lax.dot_general(
+                ohp, plane, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = jnp.sum(x * ohc, axis=1)
+            acc = acc | (y.astype(jnp.uint32) << (7 * k))
+        return acc
+
+    n_chunks = p.shape[0] // CH
+    packed = jax.lax.map(body, (p.reshape(n_chunks, CH),
+                                c.reshape(n_chunks, CH)))
+    return packed.reshape(-1)[:N].reshape(shape)
+
+
 def _gather_codes_lens(code_table: jnp.ndarray, len_table: jnp.ndarray,
                        prev: jnp.ndarray, cur: jnp.ndarray):
     """Fused (code, len) lookup from a (len<<16 | code) packed table —
@@ -91,17 +129,26 @@ def _gather_codes_lens(code_table: jnp.ndarray, len_table: jnp.ndarray,
     (_bilinear_lookup); elsewhere as one flat gather. Both produce
     identical bits (tested), so containers do not depend on the path.
     MHC_LOOKUP=gather|mxu overrides."""
+    packed = _gather_packed(code_table, len_table, prev, cur)
+    return (packed & jnp.uint32(0xFFFF)).astype(jnp.uint32), \
+        (packed >> 16).astype(jnp.int32)
+
+
+def _gather_packed(code_table: jnp.ndarray, len_table: jnp.ndarray,
+                   prev: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
+    """(len<<16 | code) u32 per symbol — the packed form the Pallas
+    pack kernel consumes directly (half the operand HBM traffic of
+    separate code+len planes)."""
     import os
     packed_t = ((len_table.astype(jnp.uint32) << 16)
                 | code_table.astype(jnp.uint32))
     method = os.environ.get("MHC_LOOKUP") or (
         "mxu" if jax.default_backend() == "tpu" else "gather")
+    if method == "int8":
+        return _bilinear_lookup_i8(packed_t, prev, cur)
     if method == "mxu":
-        packed = _bilinear_lookup(packed_t, prev, cur)
-    else:
-        packed = _flat_gather(packed_t, prev, cur)
-    return (packed & jnp.uint32(0xFFFF)).astype(jnp.uint32), \
-        (packed >> 16).astype(jnp.int32)
+        return _bilinear_lookup(packed_t, prev, cur)
+    return _flat_gather(packed_t, prev, cur)
 
 
 def words_for_block(block_size: int, max_len: int = MAX_CODE_LEN) -> int:

@@ -53,9 +53,17 @@ OUT_CHUNK = 512       # symbols per output DMA chunk (multiple of 4)
 # iterations (a lane consumes at most one word per iteration, so the
 # window always covers the next GRP reads), and serves each refill word
 # from the window with a cheap two-level select.
-GRP = 32              # aligned fetch group (words); sync period (iters)
+GRP = 32              # aligned fetch group (words); sync period (words)
 LOG2GRP = 5
 WINDOW = 2 * GRP      # per-lane lookahead (current + next group)
+
+# Symbols decoded per fori_loop iteration. The Mosaic loop costs ~6.5 us
+# PER ITERATION in fixed overhead on this toolchain (bench/loop_calib.py)
+# while chained vector ops inside the body are ~2 ns each — so the
+# symbol loop is unrolled and the win is ~linear in UNROLL until the
+# body's wide ops dominate. Must be a multiple of 4 (packed output
+# words) and divide out_chunk.
+UNROLL = 8
 
 # v5e has 128 MB of VMEM/core but XLA's default *scoped* budget for a
 # custom call is 16 MB — round 1's bench died on exactly that check
@@ -357,51 +365,54 @@ def _insert32(word, b0, b1, b2, cnt, wp):
 
 
 def _refill(allw, w_iota, b0, b1, b2, cnt, wp):
-    sel = w_iota == wp[:, :, None]
+    """Legacy O(W) refill: masked sum over the (W, 8, L) stream stack.
+    The word-MAJOR layout makes this a chain of vreg selects + a tree
+    reduce over axis 0 — no cross-lane reduction."""
+    sel = w_iota == jnp.broadcast_to(wp[None], w_iota.shape)
     # Mosaic can't reduce unsigned ints; i32 view is bit-exact (one
     # nonzero addend per lane, two's complement)
     allw_i = allw.astype(jnp.int32)
     word = jnp.sum(jnp.where(sel, allw_i, jnp.int32(0)),
-                   axis=2).astype(jnp.uint32)
+                   axis=0).astype(jnp.uint32)
     return _insert32(word, b0, b1, b2, cnt, wp)
 
 
 def _window_fill(allw_i, wp, lanes: int, W: int):
-    """Compute the (8, lanes, WINDOW) lookahead window for per-lane word
+    """Compute the (WINDOW, 8, lanes) lookahead window for per-lane word
     pointer wp: slots 0..GRP-1 hold the GRP-aligned group containing wp,
     slots GRP..2*GRP-1 the next group. Groups past the end of the stream
     buffer stay ZERO (g0+1 is deliberately NOT clamped), which makes the
     window-served word bit-identical to the scan refill's masked sum for
     every wp — including lanes already past their stream end."""
     g0 = wp >> LOG2GRP
-    g0w = jnp.broadcast_to(g0[:, :, None], (8, lanes, GRP))
-    acc0 = jnp.zeros((8, lanes, GRP), jnp.int32)
-    acc1 = jnp.zeros((8, lanes, GRP), jnp.int32)
+    g0w = jnp.broadcast_to(g0[None], (GRP, 8, lanes))
+    acc0 = jnp.zeros((GRP, 8, lanes), jnp.int32)
+    acc1 = jnp.zeros((GRP, 8, lanes), jnp.int32)
     for g in range(W // GRP):
-        slab = allw_i[:, :, g * GRP:(g + 1) * GRP]
+        slab = allw_i[g * GRP:(g + 1) * GRP]
         acc0 = jnp.where(g0w == g, slab, acc0)
         acc1 = jnp.where(g0w == (g - 1), slab, acc1)   # g == g0 + 1
-    return jnp.concatenate([acc0, acc1], axis=2), g0
+    return jnp.concatenate([acc0, acc1], axis=0), g0
 
 
 def _refill_window(win, gb, w64_iota, b0, b1, b2, cnt, wp):
     """Serve the refill word from the VMEM lookahead window: one
-    WINDOW-deep masked sum instead of the W-deep stream scan (a lane
-    consumes at most one word per iteration, so a window synced every
-    GRP iterations always covers the next read)."""
+    WINDOW-deep vreg-major masked sum instead of the W-deep stream scan
+    (a lane consumes at most one word per refill, so a window synced
+    every GRP consumed words always covers the next read)."""
     o = wp - (gb << LOG2GRP)
-    ow = jnp.broadcast_to(o[:, :, None], w64_iota.shape)
+    ow = jnp.broadcast_to(o[None], w64_iota.shape)
     word = jnp.sum(jnp.where(w64_iota == ow, win, jnp.int32(0)),
-                   axis=2).astype(jnp.uint32)
+                   axis=0).astype(jnp.uint32)
     return _insert32(word, b0, b1, b2, cnt, wp)
 
 
 def _decode_kernel(ft_ref, words_ref, out_ref,
-                   b0s, b1s, b2s, cnts, wps, ctxs, packs,
+                   b0s, b1s, b2s, cnts, wps, ctxs,
                    wins=None, gbs=None,
                    *, W: int, out_chunk: int, markov: bool,
                    fetch_impl: str, refill: str = "group",
-                   ftsym_ref=None):
+                   unroll: int = UNROLL, ftsym_ref=None):
     # slab variant passes the pre-broadcast symw slabs as a second
     # table operand (bound via functools.partial on the ref position)
     o = pl.program_id(1)
@@ -410,72 +421,81 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
 
     @pl.when(o == 0)
     def _init():
-        b0s[:] = words_ref[0, :, :, 0]
-        b1s[:] = words_ref[0, :, :, 1]
-        b2s[:] = words_ref[0, :, :, 2]
+        b0s[:] = words_ref[0, 0]
+        b1s[:] = words_ref[0, 1]
+        b2s[:] = words_ref[0, 2]
         cnts[:] = jnp.full((8, lanes), 96, jnp.int32)
         wps[:] = jnp.full((8, lanes), 3, jnp.int32)
         ctxs[:] = jnp.zeros((8, lanes), jnp.int32)
-        packs[:] = jnp.zeros((8, lanes), jnp.uint32)
 
-    allw = words_ref[0]                      # (8, lanes, W) uint32
+    allw = words_ref[0]                      # (W, 8, lanes) uint32
     ft = ft_ref[:]
     ftsym = ftsym_ref[:] if ftsym_ref is not None else None
     if refill == "group":
         allw_i = allw.astype(jnp.int32)
         w64_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (8, lanes, WINDOW), 2)
+            jnp.int32, (WINDOW, 8, lanes), 0)
     else:
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, lanes, W), 2)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 8, lanes), 0)
+
+    # UNROLL symbols per fori_loop iteration: the Mosaic loop carries a
+    # ~6.5 us FIXED cost per iteration on this toolchain (bench/
+    # loop_calib.py: a 4-op body and a 512-op body cost 6.55 vs 7.57 us)
+    # — per-symbol math is nearly free next to it, so the win is almost
+    # exactly /unroll. The window must be re-synced before more than GRP
+    # words can be consumed: unroll/2 refills per iteration -> sync
+    # every GRP/(unroll/2) iterations.
+    U = unroll
+    sync_every = max(GRP // (U // 2), 1)
 
     def iter_body(i, carry):
-        b0, b1, b2, cnt, wp, ctx, pack = carry
+        b0, b1, b2, cnt, wp, ctx = carry
         if refill == "group":
-            @pl.when(i % GRP == 0)
+            @pl.when(i % sync_every == 0)
             def _sync():
                 win, g0 = _window_fill(allw_i, wp, lanes, W)
                 wins[:] = win
                 gbs[:] = g0
-            b0, b1, b2, cnt, wp = _refill_window(
-                wins[:], gbs[:], w64_iota, b0, b1, b2, cnt, wp)
-        else:
-            b0, b1, b2, cnt, wp = _refill(allw, w_iota,
-                                          b0, b1, b2, cnt, wp)
-        t0 = 2 * i
-        for t_off in range(2):
-            b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
-                                               markov, fetch_impl, ftsym)
-            if markov:
-                ctx = sym
-            # byte position within the packed output word (i is traced)
-            shift = (8 * (3 - ((t0 + t_off) & 3))).astype(jnp.uint32)
-            pack = pack | (sym.astype(jnp.uint32) << shift)
-        # write a packed word every 4 symbols (every 2nd iteration)
-        @pl.when((i & 1) == 1)
-        def _store():
-            row = (2 * i + 1) // 4
-            out_ref[0, row] = pack
-
-        pack = jnp.where((i & 1) == 1, jnp.uint32(0), pack)
-        return b0, b1, b2, cnt, wp, ctx, pack
+        syms = []
+        for _ in range(U // 2):
+            if refill == "group":
+                b0, b1, b2, cnt, wp = _refill_window(
+                    wins[:], gbs[:], w64_iota, b0, b1, b2, cnt, wp)
+            else:
+                b0, b1, b2, cnt, wp = _refill(allw, w_iota,
+                                              b0, b1, b2, cnt, wp)
+            for _ in range(2):
+                b0, b1, b2, cnt, sym = _decode_one(
+                    ft, b0, b1, b2, cnt, ctx, markov, fetch_impl, ftsym)
+                if markov:
+                    ctx = sym
+                syms.append(sym)
+        # U % 4 == 0: every iteration stores exactly U/4 packed words —
+        # no conditional store, no pack carry
+        for j in range(U // 4):
+            pk = jnp.zeros((8, lanes), jnp.uint32)
+            for b in range(4):
+                pk = pk | (syms[4 * j + b].astype(jnp.uint32)
+                           << jnp.uint32(8 * (3 - b)))
+            out_ref[0, i * (U // 4) + j] = pk
+        return b0, b1, b2, cnt, wp, ctx
 
     carry = (b0s[:].astype(jnp.uint32), b1s[:].astype(jnp.uint32),
-             b2s[:].astype(jnp.uint32), cnts[:], wps[:], ctxs[:],
-             packs[:].astype(jnp.uint32))
-    carry = jax.lax.fori_loop(0, out_chunk // 2, iter_body, carry)
-    b0, b1, b2, cnt, wp, ctx, pack = carry
+             b2s[:].astype(jnp.uint32), cnts[:], wps[:], ctxs[:])
+    carry = jax.lax.fori_loop(0, out_chunk // U, iter_body, carry)
+    b0, b1, b2, cnt, wp, ctx = carry
     b0s[:] = b0
     b1s[:] = b1
     b2s[:] = b2
     cnts[:] = cnt
     wps[:] = wp
     ctxs[:] = ctx
-    packs[:] = pack
 
 
 @partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
                                    "out_chunk", "fetch_impl",
-                                   "lane_tiles", "refill", "raw_out"))
+                                   "lane_tiles", "refill", "raw_out",
+                                   "unroll"))
 def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          sorted_syms, n_out: int, markov: bool = True,
                          interpret: bool = False,
@@ -483,7 +503,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          fetch_impl: str = "chunk",
                          lane_tiles: int | None = None,
                          refill: str = "group",
-                         raw_out: bool = False) -> jnp.ndarray:
+                         raw_out: bool = False,
+                         unroll: int | None = None) -> jnp.ndarray:
     """Decode R unit streams of n_out symbols each.
 
     words: (R, W) uint32 bit-packed streams (padded; W from
@@ -492,7 +513,12 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     """
     R, W_in = words.shape
     ochunk = out_chunk or OUT_CHUNK
-    assert ochunk % 4 == 0
+    from ... import config as _cfg0
+    U = unroll or _cfg0.unroll()
+    U = min(U, ochunk)
+    if ochunk % U or U % 4:
+        U = 4                    # ochunk % 4 == 0 always divides
+    assert ochunk % 4 == 0 and U % 4 == 0 and ochunk % U == 0
     assert n_out % ochunk == 0 or n_out <= ochunk, (n_out, ochunk)
     n_sub = max(n_out, ochunk)
     W = (max(W_in, 3) + 127) // 128 * 128   # lane-aligned stream buffer
@@ -539,7 +565,10 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     if Rp != R or W != W_in:
         wpad = jnp.zeros((Rp, W), jnp.uint32)
         words = wpad.at[:R, :W_in].set(words)
-    words4 = words.reshape(n_tiles, 8, L, W)
+    # word-MAJOR stream layout (t, W, 8, L): refill/window ops become
+    # vreg selects + tree reduces over axis 0 instead of cross-lane
+    # minor-axis reductions (~1.1 us each, bench/loop_calib.py "wide")
+    words4 = jnp.transpose(words.reshape(n_tiles, 8, L, W), (0, 3, 1, 2))
 
     grid = (n_tiles, n_sub // ochunk)
     scratch = [
@@ -549,11 +578,10 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
         pltpu.VMEM((8, L), jnp.int32),   # cnt
         pltpu.VMEM((8, L), jnp.int32),   # wptr
         pltpu.VMEM((8, L), jnp.int32),   # ctx
-        pltpu.VMEM((8, L), jnp.uint32),  # pack
     ]
     if refill == "group":
         scratch += [
-            pltpu.VMEM((8, L, WINDOW), jnp.int32),  # lookahead window
+            pltpu.VMEM((WINDOW, 8, L), jnp.int32),  # lookahead window
             pltpu.VMEM((8, L), jnp.int32),          # window group base
         ]
     cost = pl.CostEstimate(
@@ -567,7 +595,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
         (n_tiles, n_sub // 4, 8, L), jnp.uint32)
     ft_spec = pl.BlockSpec((256, 79), lambda t, o: (0, 0),
                            memory_space=pltpu.VMEM)
-    words_spec = pl.BlockSpec((1, 8, L, W), lambda t, o: (t, 0, 0, 0),
+    words_spec = pl.BlockSpec((1, W, 8, L), lambda t, o: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     if fetch_impl == "slab":
         ftsym_wide = build_sym_slabs(ft, lanes=L)
@@ -576,7 +604,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             return _decode_kernel(ft_ref, words_ref, out_ref, *scr,
                                   W=W, out_chunk=ochunk, markov=markov,
                                   fetch_impl="slab", refill=refill,
-                                  ftsym_ref=ftsym_ref)
+                                  unroll=U, ftsym_ref=ftsym_ref)
 
         out = pl.pallas_call(
             kernel_slab,
@@ -597,7 +625,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     else:
         out = pl.pallas_call(
             partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
-                    fetch_impl=fetch_impl, refill=refill),
+                    fetch_impl=fetch_impl, refill=refill, unroll=U),
             grid=grid,
             in_specs=[ft_spec, words_spec],
             out_specs=out_spec,
@@ -631,9 +659,9 @@ def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
     Runs compiled on any backend — the correctness oracle for the Pallas
     kernel math (same _refill/_decode_one functions, no Mosaic). Returns
     (8, 128, n_out) int32 symbols."""
-    allw = jnp.asarray(words_tile, jnp.uint32)
-    W = allw.shape[2]
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
+    allw = jnp.moveaxis(jnp.asarray(words_tile, jnp.uint32), 2, 0)
+    W = allw.shape[0]                       # (W, 8, 128) word-major
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 8, 128), 0)
 
     def iter_body(carry, i):
         b0, b1, b2, cnt, wp, ctx = carry
@@ -647,7 +675,7 @@ def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
             syms.append(sym)
         return (b0, b1, b2, cnt, wp, ctx), jnp.stack(syms)
 
-    carry = (allw[:, :, 0], allw[:, :, 1], allw[:, :, 2],
+    carry = (allw[0], allw[1], allw[2],
              jnp.full((8, 128), 96, jnp.int32),
              jnp.full((8, 128), 3, jnp.int32),
              jnp.zeros((8, 128), jnp.int32))

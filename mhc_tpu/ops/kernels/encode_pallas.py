@@ -34,6 +34,10 @@ from ..bitpack import words_for_block
 
 LANES = 1024
 CHUNK_STEPS = 256          # symbols per grid chunk (2 appends/round)
+# Rounds per fori_loop iteration: the Mosaic loop costs ~6.5 us/iter in
+# FIXED overhead (bench/loop_calib.py) while the ~40 chained vector ops
+# of one pack round cost ~2 ns each — unrolling is a near-linear win.
+PACK_UNROLL = 16
 
 
 def _append(a0, a1, cnt, code, ln):
@@ -64,8 +68,11 @@ def _pack_round(a0, a1, cnt, codes2, lens2):
     return a0, a1, cnt, word, emit.astype(jnp.int32)
 
 
-def _pack_kernel(codes_ref, lens_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
-                 a0s, a1s, cnts, totals, *, out_chunk: int, n_chunks: int):
+def _pack_kernel(cl_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
+                 a0s, a1s, cnts, totals, *, out_chunk: int, n_chunks: int,
+                 unroll: int = PACK_UNROLL):
+    # cl_ref: PACKED (len<<16 | code) u32 per symbol — one operand
+    # stream instead of separate code+len planes
     o = pl.program_id(1)
 
     @pl.when(o == 0)
@@ -77,18 +84,24 @@ def _pack_kernel(codes_ref, lens_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
 
     def body(i, carry):
         a0, a1, cnt, tot = carry
-        c0 = codes_ref[0, 2 * i]
-        c1 = codes_ref[0, 2 * i + 1]
-        l0 = lens_ref[0, 2 * i]
-        l1 = lens_ref[0, 2 * i + 1]
-        a0, a1, cnt, word, valid = _pack_round(
-            a0, a1, cnt, (c0, c1), (l0, l1))
-        bw_ref[0, i] = word
-        bv_ref[0, i] = valid
-        return a0, a1, cnt, tot + l0 + l1
+        for r in range(unroll):           # amortize the per-iter tax
+            j = i * unroll + r
+            cl0 = cl_ref[0, 2 * j]
+            cl1 = cl_ref[0, 2 * j + 1]
+            c0 = cl0 & jnp.uint32(0xFFFF)
+            c1 = cl1 & jnp.uint32(0xFFFF)
+            l0 = (cl0 >> jnp.uint32(16)).astype(jnp.int32)
+            l1 = (cl1 >> jnp.uint32(16)).astype(jnp.int32)
+            a0, a1, cnt, word, valid = _pack_round(
+                a0, a1, cnt, (c0, c1), (l0, l1))
+            bw_ref[0, j] = word
+            bv_ref[0, j] = valid
+            tot = tot + l0 + l1
+        return a0, a1, cnt, tot
 
     carry = (a0s[:], a1s[:], cnts[:], totals[:])
-    a0, a1, cnt, tot = jax.lax.fori_loop(0, out_chunk // 2, body, carry)
+    a0, a1, cnt, tot = jax.lax.fori_loop(
+        0, out_chunk // 2 // unroll, body, carry)
     a0s[:] = a0
     a1s[:] = a1
     cnts[:] = cnt
@@ -101,33 +114,28 @@ def _pack_kernel(codes_ref, lens_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
         nbits_ref[0] = tot
 
 
-@partial(jax.jit, static_argnames=("max_len", "interpret"))
-def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray,
-                       max_len: int = MAX_CODE_LEN,
-                       interpret: bool = False):
-    """codes/lens: (R, n) per-symbol codes and lengths (0-len = masked).
+def _cl_packed(codes: jnp.ndarray, lens: jnp.ndarray | None):
+    """Accept either separate (codes, lens) planes or the packed
+    (len<<16 | code) u32 form (lens=None) that api.lookup_cl emits."""
+    if lens is None:
+        return codes.astype(jnp.uint32)
+    return ((lens.astype(jnp.uint32) << 16) | codes.astype(jnp.uint32))
 
-    Returns (words (R, W) uint32, bits (R,) uint32) — same contract as
-    encode_blocks/encode_blocks_merge given precomputed codes+lens.
-    """
-    R, n = codes.shape
-    W = words_for_block(n, max_len)
+
+def _run_bubble_pack(cl: jnp.ndarray, interpret: bool):
+    """Shared bubble-stream kernel driver: (Rp, n_pad) packed cl ->
+    (bwr (Rp, rounds) words, bvr valid, tail, nbits) host-order rows."""
+    R, n = cl.shape
     n_tiles = (R + LANES - 1) // LANES
     Rp = n_tiles * LANES
     if Rp != R:
-        codes = jnp.pad(codes, ((0, Rp - R), (0, 0)))
-        lens = jnp.pad(lens, ((0, Rp - R), (0, 0)))
+        cl = jnp.pad(cl, ((0, Rp - R), (0, 0)))
     n_pad = (n + CHUNK_STEPS - 1) // CHUNK_STEPS * CHUNK_STEPS
     if n_pad != n:
-        codes = jnp.pad(codes, ((0, 0), (0, n_pad - n)))
-        lens = jnp.pad(lens, ((0, 0), (0, n_pad - n)))
+        cl = jnp.pad(cl, ((0, 0), (0, n_pad - n)))
     n_chunks = n_pad // CHUNK_STEPS
     # (tiles, steps, 8, 128): step-major so each lane reads dense rows
-    codes4 = jnp.moveaxis(
-        codes.astype(jnp.uint32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
-    lens4 = jnp.moveaxis(
-        lens.astype(jnp.int32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
-
+    cl4 = jnp.moveaxis(cl.reshape(n_tiles, 8, 128, n_pad), 3, 1)
     n_rounds = n_pad // 2
     kernel = partial(_pack_kernel, out_chunk=CHUNK_STEPS,
                      n_chunks=n_chunks)
@@ -135,9 +143,6 @@ def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray,
         kernel,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
-                         lambda t, o: (t, o, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
                          lambda t, o: (t, o, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -168,16 +173,32 @@ def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray,
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(Rp) * n_pad * 30,
-            bytes_accessed=int(codes4.size) * 8,
+            bytes_accessed=int(cl4.size) * 8,
             transcendentals=0),
         interpret=interpret,
-    )(codes4, lens4)
-
-    # XLA compaction: bubble rows -> dense per-unit word streams
+    )(cl4)
     bwr = jnp.moveaxis(bw, 1, 3).reshape(Rp, n_rounds)
     bvr = jnp.moveaxis(bv, 1, 3).reshape(Rp, n_rounds)
     tail_r = tail.reshape(Rp)
     nbits_r = nbits.reshape(Rp).astype(jnp.uint32)
+    return bwr, bvr, tail_r, nbits_r, Rp
+
+
+@partial(jax.jit, static_argnames=("max_len", "interpret"))
+def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray | None = None,
+                       max_len: int = MAX_CODE_LEN,
+                       interpret: bool = False):
+    """codes/lens: (R, n) per-symbol codes and lengths (0-len = masked),
+    or the packed (len<<16 | code) u32 plane with lens=None.
+
+    Returns (words (R, W) uint32, bits (R,) uint32) — same contract as
+    encode_blocks/encode_blocks_merge given precomputed codes+lens.
+    """
+    R, n = codes.shape
+    W = words_for_block(n, max_len)
+    bwr, bvr, tail_r, nbits_r, Rp = _run_bubble_pack(
+        _cl_packed(codes, lens), interpret)
+    # XLA compaction: bubble rows -> dense per-unit word streams
     pos = jnp.cumsum(bvr, axis=1) - 1
     unit_idx = jnp.arange(Rp)[:, None]
     dump = jnp.int32(W)
@@ -194,7 +215,8 @@ def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("max_len", "interpret"))
-def pack_blocks_to_payload(codes: jnp.ndarray, lens: jnp.ndarray,
+def pack_blocks_to_payload(codes: jnp.ndarray,
+                           lens: jnp.ndarray | None = None,
                            max_len: int = MAX_CODE_LEN,
                            interpret: bool = False):
     """Fused pack + aligned-payload compaction: bubble stream -> dense
@@ -210,70 +232,8 @@ def pack_blocks_to_payload(codes: jnp.ndarray, lens: jnp.ndarray,
     two-step path (tested)."""
     R, n = codes.shape
     W = words_for_block(n, max_len)
-    n_tiles = (R + LANES - 1) // LANES
-    Rp = n_tiles * LANES
-    if Rp != R:
-        codes = jnp.pad(codes, ((0, Rp - R), (0, 0)))
-        lens = jnp.pad(lens, ((0, Rp - R), (0, 0)))
-    n_pad = (n + CHUNK_STEPS - 1) // CHUNK_STEPS * CHUNK_STEPS
-    if n_pad != n:
-        codes = jnp.pad(codes, ((0, 0), (0, n_pad - n)))
-        lens = jnp.pad(lens, ((0, 0), (0, n_pad - n)))
-    n_chunks = n_pad // CHUNK_STEPS
-    codes4 = jnp.moveaxis(
-        codes.astype(jnp.uint32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
-    lens4 = jnp.moveaxis(
-        lens.astype(jnp.int32).reshape(n_tiles, 8, 128, n_pad), 3, 1)
-    n_rounds = n_pad // 2
-    kernel = partial(_pack_kernel, out_chunk=CHUNK_STEPS,
-                     n_chunks=n_chunks)
-    bw, bv, tail, nbits = pl.pallas_call(
-        kernel,
-        grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
-                         lambda t, o: (t, o, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
-                         lambda t, o: (t, o, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
-                         lambda t, o: (t, o, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
-                         lambda t, o: (t, o, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, n_rounds, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((n_tiles, n_rounds, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.uint32),
-            pltpu.VMEM((8, 128), jnp.uint32),
-            pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((8, 128), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(Rp) * n_pad * 30,
-            bytes_accessed=int(codes4.size) * 8,
-            transcendentals=0),
-        interpret=interpret,
-    )(codes4, lens4)
-
-    bwr = jnp.moveaxis(bw, 1, 3).reshape(Rp, n_rounds)
-    bvr = jnp.moveaxis(bv, 1, 3).reshape(Rp, n_rounds)
-    tail_r = tail.reshape(Rp)
-    nbits_r = nbits.reshape(Rp).astype(jnp.uint32)
-
+    bwr, bvr, tail_r, nbits_r, Rp = _run_bubble_pack(
+        _cl_packed(codes, lens), interpret)
     word_lens = ((nbits_r + 31) >> 5).astype(jnp.int32)
     offsets = jnp.cumsum(word_lens) - word_lens          # exclusive
     total_pad = Rp * W
