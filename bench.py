@@ -105,13 +105,27 @@ def main() -> int:
     blob = engine.assemble_container(enc, zlib.crc32(data) & 0xFFFFFFFF)
     del outs
 
+    # block_until_ready can return EARLY for warm Mosaic dispatches on
+    # the axon relay (CLAUDE.md traps) — force a host scalar that
+    # depends on every timed device result
+    import jax
+    import jax.numpy as jnp
+
+    def _force(arrs):
+        for x in arrs:
+            if isinstance(x, jax.Array) and x.size:
+                int(jnp.sum(x.reshape(-1)[:: max(x.size // 4096, 1)]
+                            .astype(jnp.int32)))
+
     enc_t, dec_t = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         enc = engine.encode(st)
+        _force(enc.payload)
         enc_t.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         outs = engine.decode(enc)
+        _force(outs)
         dec_t.append(time.perf_counter() - t0)
         del outs
     enc_s = min(enc_t)
@@ -147,7 +161,6 @@ def main() -> int:
         vs = None
         ratio_vs_ref = None
 
-    import jax
     print(json.dumps({
         "metric": f"device-resident encode+decode aggregate GB/s/chip "
                   f"({mode}, {n_mb}MB, 64KB blocks)",

@@ -129,6 +129,10 @@ def main() -> int:
           refill="group", raw_out=True, unroll=32)
     timed("mxu3_group_raw_u16", markov=True, fetch_impl="mxu3",
           refill="group", raw_out=True, unroll=16)
+    timed("mxu4_group_raw", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True)
+    timed("mxu4_group_raw_u16", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, unroll=16)
     print(json.dumps(res), flush=True)
     return 0
 

@@ -10,7 +10,7 @@ at first trace).
 
 Knob catalog (see CLAUDE.md):
   MHC_DECODE_METHOD  scan | pallas
-  MHC_FETCH_IMPL     chunk | mxu | mxu2 | sparse | slab
+  MHC_FETCH_IMPL     chunk | mxu | mxu2 | mxu3 | mxu4 | sparse | slab
   MHC_REFILL         group | scan      (Pallas decode word refill)
   MHC_PACK_METHOD    pallas | merge | scatter
   MHC_LOOKUP         mxu | gather
@@ -53,7 +53,9 @@ def pack_method() -> str:
 
 
 def lookup_method() -> str:
-    return os.environ.get("MHC_LOOKUP") or ("mxu" if _tpu() else "gather")
+    # gather beats the MXU bilinear 2.3x with honest (sync-forced)
+    # timing — bench/encode_micro.py round 3
+    return os.environ.get("MHC_LOOKUP") or "gather"
 
 
 def hist_method() -> str:

@@ -142,8 +142,11 @@ def _gather_packed(code_table: jnp.ndarray, len_table: jnp.ndarray,
     import os
     packed_t = ((len_table.astype(jnp.uint32) << 16)
                 | code_table.astype(jnp.uint32))
-    method = os.environ.get("MHC_LOOKUP") or (
-        "mxu" if jax.default_backend() == "tpu" else "gather")
+    # flat gather is the TPU default: 0.49 GB/s of input vs 0.22 for the
+    # bf16 MXU bilinear and 0.23 for int8 (bench/encode_micro.py round 3
+    # with sync-forced timing — the round-2 "mxu 1.8x gather" reading
+    # came from the early-returning block_until_ready, CLAUDE.md traps)
+    method = os.environ.get("MHC_LOOKUP") or "gather"
     if method == "int8":
         return _bilinear_lookup_i8(packed_t, prev, cur)
     if method == "mxu":

@@ -160,7 +160,40 @@ def _fetch_all(ft, ctx, markov: bool, sparse: bool = False):
     return acc[:, :np_ * L], acc[:, np_ * L:], 1
 
 
-def _fetch_all_mxu2(ft, ctx, markov: bool):
+def _prep_fetch(ft, markov: bool, fetch_impl: str, lanes: int,
+                ftsym=None):
+    """Precompute every loop-INVARIANT fetch/resolve operand ONCE per
+    kernel invocation: Mosaic does not reliably hoist invariant jaxpr
+    ops out of fori_loop bodies, so iotas / bit-plane extractions /
+    order-0 stacks built inside _decode_one were being re-materialized
+    EVERY symbol (round-3 finding: the order-0 floor carried ~2 us/sym
+    of invariant rebuild)."""
+    L = lanes
+    prep = {"ft": ft, "markov": markov, "fetch_impl": fetch_impl,
+            "ftsym": ftsym}
+    if not markov:
+        NV = 79
+        acc = jnp.broadcast_to(ft[0][:, None, None], (NV, 8, L))
+        prep["o0"] = (acc[:len(_PAIR_COLS)], acc[len(_PAIR_COLS):])
+    elif fetch_impl in ("mxu", "mxu2", "mxu3", "mxu4"):
+        prep["iota_c"] = jax.lax.broadcasted_iota(
+            jnp.int32, (256, 8, L), 0)
+        if fetch_impl in ("mxu3", "mxu4"):
+            prep["planes_cat"] = jnp.concatenate(
+                [((ft >> (8 * k)) & 255).astype(jnp.bfloat16)
+                 for k in range(4)], axis=1)     # (256, 4*79)
+        else:
+            prep["planes"] = [((ft >> (8 * k)) & 255).astype(jnp.bfloat16)
+                              for k in range(4)]
+    # resolve iotas for the wide (vax=0) path
+    NP, NS = len(_PAIR_COLS), len(_SYM_COLS)
+    prep["liota"] = jax.lax.broadcasted_iota(
+        jnp.int32, (NP, 8, L), 0) + 1
+    prep["qiota"] = jax.lax.broadcasted_iota(jnp.int32, (NS, 8, L), 0)
+    return prep
+
+
+def _fetch_all_mxu2(prep, ctx):
     """Whole-row fetch as four exact 8-bit bf16 one-hot matmuls.
 
     Contracts the 256-context axis with the (8, 128) lane layout
@@ -173,15 +206,10 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
     correctly in the jnp mirror but MISdecoded on the real chip: MXU
     f32 matmuls run as bf16 passes, which are not exact above 2^8 —
     hence 8-bit planes.)"""
-    if not markov:
-        return _fetch_order0(ft, ctx)
-    L = ctx.shape[-1]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, L), 0)
-    oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
+    oh = (ctx[None, :, :] == prep["iota_c"]).astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
     acc = None
-    for k in range(4):
-        plane = ((ft >> (8 * k)) & 255).astype(jnp.bfloat16)   # (256, 79)
+    for k, plane in enumerate(prep["planes"]):
         xk = jax.lax.dot_general(plane, oh, dimension_numbers=dn,
                                  preferred_element_type=jnp.float32)
         # f32 -> int32 (Mosaic has no f32->u32 cast); the k=3 shift wraps
@@ -192,35 +220,14 @@ def _fetch_all_mxu2(ft, ctx, markov: bool):
     return acc[:np_], acc[np_:], 0      # stacked (NV, 8, L), value axis 0
 
 
-def _fetch_order0(ft, ctx):
-    """Order-0 'fetch': every lane uses context 0, so the (79,) row
-    broadcasts to a loop-invariant (79, 8, L) stack (hoisted out of the
-    symbol loop by Mosaic) and the resolve runs the WIDE vax=0 path."""
-    L = ctx.shape[-1]
-    NV = 79
-    acc = jnp.broadcast_to(ft[0][:, None, None], (NV, 8, L))
-    np_ = len(_PAIR_COLS)
-    return acc[:np_], acc[np_:], 0
-
-
-def _fetch_all_mxu3(ft, ctx, markov: bool):
+def _fetch_all_mxu3(prep, ctx):
     """mxu2 with the four 8-bit planes STACKED into one (256, 316)
     operand so the whole row fetch is a single MXU dispatch per symbol
-    instead of four. The per-iteration cost of the decode loop is
-    dominated by the serial dependency chain (ctx -> one-hot -> matmul
-    -> length resolve -> sym -> next ctx), so fewer, larger matmuls cut
-    wall time even at identical FLOPs. Plane math identical to mxu2
-    (8-bit planes exact in bf16; k=3 shift wraps modularly in int32)."""
-    if not markov:
-        return _fetch_order0(ft, ctx)
-    L = ctx.shape[-1]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, 8, L), 0)
-    oh = (ctx[None, :, :] == iota_c).astype(jnp.bfloat16)
-    planes = jnp.concatenate(
-        [((ft >> (8 * k)) & 255).astype(jnp.bfloat16) for k in range(4)],
-        axis=1)                                  # (256, 4*79)
+    instead of four. Plane math identical to mxu2 (8-bit planes exact
+    in bf16; k=3 shift wraps modularly in int32)."""
+    oh = (ctx[None, :, :] == prep["iota_c"]).astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
-    x = jax.lax.dot_general(planes, oh, dimension_numbers=dn,
+    x = jax.lax.dot_general(prep["planes_cat"], oh, dimension_numbers=dn,
                             preferred_element_type=jnp.float32)
     acc = None
     for k in range(4):
@@ -228,6 +235,47 @@ def _fetch_all_mxu3(ft, ctx, markov: bool):
         acc = v if acc is None else acc | v
     np_ = len(_PAIR_COLS)
     return acc[:np_], acc[np_:], 0      # stacked (NV, 8, L), value axis 0
+
+
+def _fetch_resolve_mxu4(prep, ctx, win):
+    """Stacked bf16 one-hot fetch + DIRECT f32 resolve (round 3).
+
+    mxu2/mxu3 reconstruct all 79 int32 row values from the four 8-bit
+    planes (~870 vreg-cycles/symbol of casts+shifts+ors) before the
+    resolve uses ~4 of them. Here the resolve reads the f32 plane rows
+    directly: lim/bf are 16-bit values rebuilt as p0 + 256*p1 (exact in
+    f32 < 2^24), and the symbol BYTE is one plane row — plane k holds
+    byte position 3-k of each packed symw word, so no 32-bit word is
+    ever reassembled. Bit-exact vs the int path (single-match masked
+    sums; byte planes 0..255)."""
+    oh = (ctx[None, :, :] == prep["iota_c"]).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    x = jax.lax.dot_general(prep["planes_cat"], oh, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+    NV = 79
+    lim_f = x[0:14] + x[NV:NV + 14] * 256.0        # (14, 8, L), u16 exact
+    win_f = win.astype(jnp.float32)
+    length = 1 + jnp.sum(
+        (jnp.broadcast_to(win_f[None], lim_f.shape) >= lim_f)
+        .astype(jnp.int32), axis=0)
+    bf_rows = x[2 * NV:2 * NV + 15] + x[3 * NV:3 * NV + 15] * 256.0
+    lw = jnp.broadcast_to(length[None], bf_rows.shape)
+    bf = jnp.sum(jnp.where(prep["liota"] == lw, bf_rows, 0.0),
+                 axis=0).astype(jnp.int32)
+    bf = jnp.where(bf >= 32768, bf - 65536, bf)    # sign-extend u16
+    code = win >> jnp.clip(MAX_CODE_LEN - length, 0, 31).astype(jnp.int32)
+    idx = jnp.clip(bf + code, 0, 255)
+    q = idx >> 2
+    qw = jnp.broadcast_to(q[None], prep["qiota"].shape)
+    qmask = prep["qiota"] == qw
+    sbytes = [jnp.sum(jnp.where(qmask, x[k * NV + 15:(k + 1) * NV], 0.0),
+                      axis=0) for k in range(4)]
+    b_pos = idx & 3                                # byte pos -> plane 3-b
+    s = sbytes[3]
+    s = jnp.where(b_pos == 1, sbytes[2], s)
+    s = jnp.where(b_pos == 2, sbytes[1], s)
+    s = jnp.where(b_pos == 3, sbytes[0], s)
+    return length, s.astype(jnp.int32)
 
 
 def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
@@ -272,27 +320,24 @@ def build_sym_slabs(ft: jnp.ndarray, lanes: int = 128) -> jnp.ndarray:
                             (32, 8, 64, lanes)).reshape(32, 8, 64 * lanes)
 
 
-def _resolve_wide(pairs, symws, win, ctx):
+def _resolve_wide(prep, pairs, symws, win, ctx):
     """Resolve (length, sym-word, idx) from (NV, 8, L) value stacks with
     WIDE vreg ops: one broadcast-compare + tree-reduce per stage instead
     of a chain of NV tiny (8, L) ops (each tiny op costs ~30-60 cycles
     of loop-body overhead on Mosaic — measured round 3; the wide form
     runs at ~1 cycle/vreg). Masked sums are bit-exact: exactly one
     value matches per lane (length in [1,15]; q = idx>>2 in [0,64))."""
-    NP = pairs.shape[0]
     lim = pairs[:14] & 0xFFFF                       # (14, 8, L)
     winw = jnp.broadcast_to(win[None], lim.shape)
     length = 1 + jnp.sum((winw >= lim).astype(jnp.int32), axis=0)
-    liota = jax.lax.broadcasted_iota(jnp.int32, pairs.shape, 0) + 1
     lw = jnp.broadcast_to(length[None], pairs.shape)
-    packed_bf = jnp.sum(jnp.where(liota == lw, pairs, 0), axis=0)
+    packed_bf = jnp.sum(jnp.where(prep["liota"] == lw, pairs, 0), axis=0)
     bf = packed_bf >> 16                            # arithmetic: sign ok
     code = win >> jnp.clip(MAX_CODE_LEN - length, 0, 31).astype(jnp.int32)
     idx = jnp.clip(bf + code, 0, 255)
     q = idx >> 2
-    qiota = jax.lax.broadcasted_iota(jnp.int32, symws.shape, 0)
     qw = jnp.broadcast_to(q[None], symws.shape)
-    symw = jnp.sum(jnp.where(qiota == qw, symws, 0), axis=0)
+    symw = jnp.sum(jnp.where(prep["qiota"] == qw, symws, 0), axis=0)
     return length, idx, symw
 
 
@@ -320,20 +365,36 @@ def _resolve_lanes(pairs_w, symws_w, win, ctx):
     return length, idx, symw
 
 
-def _decode_one(ft, b0, b1, b2, cnt, ctx, markov: bool,
-                fetch_impl: str = "chunk", ftsym_wide=None):
-    if fetch_impl == "slab":
-        pairs, symws, vax = _fetch_all_slab(ft, ftsym_wide, ctx, markov)
+def _decode_one(prep, b0, b1, b2, cnt, ctx):
+    markov = prep["markov"]
+    fetch_impl = prep["fetch_impl"]
+    if markov and fetch_impl == "mxu4":
+        win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
+        length, sym = _fetch_resolve_mxu4(prep, ctx, win)
+        ls = length.astype(jnp.uint32)
+        rs = (32 - length).astype(jnp.uint32)      # length in [1,15]
+        b0 = (b0 << ls) | (b1 >> rs)
+        b1 = (b1 << ls) | (b2 >> rs)
+        b2 = b2 << ls
+        return b0, b1, b2, cnt - length, sym
+    if not markov:
+        pairs, symws = prep["o0"]
+        vax = 0
+    elif fetch_impl == "slab":
+        pairs, symws, vax = _fetch_all_slab(prep["ft"], prep["ftsym"],
+                                            ctx, markov)
     elif fetch_impl == "mxu3":
-        pairs, symws, vax = _fetch_all_mxu3(ft, ctx, markov)
+        pairs, symws, vax = _fetch_all_mxu3(prep, ctx)
     elif fetch_impl in ("mxu", "mxu2"):
-        pairs, symws, vax = _fetch_all_mxu2(ft, ctx, markov)
+        pairs, symws, vax = _fetch_all_mxu2(prep, ctx)
     else:
-        pairs, symws, vax = _fetch_all(ft, ctx, markov,
+        pairs, symws, vax = _fetch_all(prep["ft"], ctx, markov,
                                        sparse=fetch_impl == "sparse")
     win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
-    resolve = _resolve_wide if vax == 0 else _resolve_lanes
-    length, idx, symw = resolve(pairs, symws, win, ctx)
+    if vax == 0:
+        length, idx, symw = _resolve_wide(prep, pairs, symws, win, ctx)
+    else:
+        length, idx, symw = _resolve_lanes(pairs, symws, win, ctx)
     shift = (8 * (3 - (idx & 3))).astype(jnp.uint32)
     sym = (symw.astype(jnp.uint32) >> shift).astype(jnp.int32) & 255
     # consume `length` bits
@@ -431,6 +492,7 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
     allw = words_ref[0]                      # (W, 8, lanes) uint32
     ft = ft_ref[:]
     ftsym = ftsym_ref[:] if ftsym_ref is not None else None
+    prep = _prep_fetch(ft, markov, fetch_impl, lanes, ftsym)
     if refill == "group":
         allw_i = allw.astype(jnp.int32)
         w64_iota = jax.lax.broadcasted_iota(
@@ -466,7 +528,7 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
                                               b0, b1, b2, cnt, wp)
             for _ in range(2):
                 b0, b1, b2, cnt, sym = _decode_one(
-                    ft, b0, b1, b2, cnt, ctx, markov, fetch_impl, ftsym)
+                    prep, b0, b1, b2, cnt, ctx)
                 if markov:
                     ctx = sym
                 syms.append(sym)
@@ -662,14 +724,15 @@ def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
     allw = jnp.moveaxis(jnp.asarray(words_tile, jnp.uint32), 2, 0)
     W = allw.shape[0]                       # (W, 8, 128) word-major
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 8, 128), 0)
+    prep = _prep_fetch(jnp.asarray(ft), markov, fetch_impl, 128, ftsym)
 
     def iter_body(carry, i):
         b0, b1, b2, cnt, wp, ctx = carry
         b0, b1, b2, cnt, wp = _refill(allw, w_iota, b0, b1, b2, cnt, wp)
         syms = []
         for _ in range(2):
-            b0, b1, b2, cnt, sym = _decode_one(ft, b0, b1, b2, cnt, ctx,
-                                               markov, fetch_impl, ftsym)
+            b0, b1, b2, cnt, sym = _decode_one(prep, b0, b1, b2,
+                                               cnt, ctx)
             if markov:
                 ctx = sym
             syms.append(sym)

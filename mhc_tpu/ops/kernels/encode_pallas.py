@@ -198,19 +198,23 @@ def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray | None = None,
     W = words_for_block(n, max_len)
     bwr, bvr, tail_r, nbits_r, Rp = _run_bubble_pack(
         _cl_packed(codes, lens), interpret)
-    # XLA compaction: bubble rows -> dense per-unit word streams
+    # XLA compaction: bubble rows -> dense per-unit word streams.
+    # Invalid slots are sent OUT OF BOUNDS (dropped by mode="drop") so
+    # the remaining indices are provably unique — unique_indices lets
+    # XLA:TPU vectorize the scatter instead of serializing updates.
     pos = jnp.cumsum(bvr, axis=1) - 1
     unit_idx = jnp.arange(Rp)[:, None]
-    dump = jnp.int32(W)
+    dump = jnp.int32(W + 1)
     words = jnp.zeros((Rp, W + 1), jnp.uint32)
     words = words.at[unit_idx,
-                     jnp.where(bvr > 0, pos, dump)].set(bwr, mode="drop")
+                     jnp.where(bvr > 0, pos, dump)].set(
+        bwr, mode="drop", unique_indices=True)
     # append the tail partial word where bits remain
     nwords = (nbits_r >> 5).astype(jnp.int32)
     has_tail = (nbits_r & 31) > 0
     words = words.at[jnp.arange(Rp),
                      jnp.where(has_tail, nwords, dump)].set(
-        tail_r, mode="drop")
+        tail_r, mode="drop", unique_indices=True)
     return words[:R, :W], nbits_r[:R]
 
 
@@ -239,14 +243,17 @@ def pack_blocks_to_payload(codes: jnp.ndarray,
     total_pad = Rp * W
     pos = jnp.cumsum(bvr, axis=1) - 1
     gidx = offsets[:, None] + pos
-    gidx = jnp.where(bvr > 0, gidx, total_pad)
+    # invalid slots go OUT OF BOUNDS (dropped) -> remaining indices are
+    # unique, letting XLA:TPU vectorize the scatter
+    gidx = jnp.where(bvr > 0, gidx, total_pad + 1)
     payload = jnp.zeros((total_pad + 1,), jnp.uint32)
     payload = payload.at[gidx.reshape(-1)].set(
-        bwr.reshape(-1), mode="drop")
+        bwr.reshape(-1), mode="drop", unique_indices=True)
     nwords = (nbits_r >> 5).astype(jnp.int32)
     has_tail = (nbits_r & 31) > 0
-    tpos = jnp.where(has_tail, offsets + nwords, total_pad)
-    payload = payload.at[tpos].set(tail_r, mode="drop")
+    tpos = jnp.where(has_tail, offsets + nwords, total_pad + 1)
+    payload = payload.at[tpos].set(tail_r, mode="drop",
+                                   unique_indices=True)
     return payload[:total_pad], nbits_r[:R]
 
 
@@ -277,13 +284,14 @@ def compact_bubbles(bwr, bvr, tail_r, nbits_r, W: int):
     Rp = bwr.shape[0]
     pos = jnp.cumsum(bvr, axis=1) - 1
     unit_idx = jnp.arange(Rp)[:, None]
-    dump = jnp.int32(W)
+    dump = jnp.int32(W + 1)                    # OOB -> unique indices
     words = jnp.zeros((Rp, W + 1), jnp.uint32)
     words = words.at[unit_idx,
-                     jnp.where(bvr > 0, pos, dump)].set(bwr, mode="drop")
+                     jnp.where(bvr > 0, pos, dump)].set(
+        bwr, mode="drop", unique_indices=True)
     nwords = (nbits_r >> 5).astype(jnp.int32)
     has_tail = (nbits_r & 31) > 0
     words = words.at[jnp.arange(Rp),
                      jnp.where(has_tail, nwords, dump)].set(
-        tail_r, mode="drop")
+        tail_r, mode="drop", unique_indices=True)
     return words[:, :W]

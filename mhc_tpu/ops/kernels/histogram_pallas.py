@@ -21,23 +21,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 2048  # rows per grid step; f32 partial <= 2048 << 2^24, 2x1MB VMEM
+CHUNK = 2048   # order-0 kernel rows per grid step
+# markov kernel: symbols per grid step. Each step builds two (256, MCHUNK)
+# bf16 one-hots in VMEM (2 x 8 MB at 16384) and runs one MXU contraction;
+# larger chunks amortize the ~6.5 us/step Mosaic loop tax
+# (bench/loop_calib.py). f32 partial <= MCHUNK << 2^24 — int32-exact.
+MCHUNK = 16384
 
 
 def _hist_kernel(prev_ref, cur_ref, out_ref):
+    # round-3 rewrite: the (CHUNK, 1)-block, axis-0-contraction version
+    # crashed the remote Mosaic compiler (HTTP 500; CLAUDE.md traps).
+    # This form uses natural (1, CHUNK) lane-major operands, sublane
+    # broadcast + iota compare for the one-hots, and a lane-axis
+    # contraction (A @ B^T) — all patterns proven in decode_pallas.
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p = prev_ref[0]                                   # (CHUNK, 1)
-    c = cur_ref[0]
-    sym = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 256), 1)
-    a = (p == sym).astype(jnp.bfloat16)               # broadcast compare
-    b = (c == sym).astype(jnp.bfloat16)
+    p = prev_ref[:]                                   # (1, MCHUNK)
+    c = cur_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, MCHUNK), 0)
+    a = (jnp.broadcast_to(p, (256, MCHUNK)) == iota).astype(jnp.bfloat16)
+    b = (jnp.broadcast_to(c, (256, MCHUNK)) == iota).astype(jnp.bfloat16)
     partial_counts = jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[:] += partial_counts.astype(jnp.int32)
 
@@ -48,29 +58,28 @@ def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
     """256x256 [prev, cur] counts. prev/cur: (N,) int32 with sentinel 256
     marking padded/masked positions. Returns (256, 256) int32."""
     N = prev.shape[0]
-    pad = (-N) % CHUNK
+    pad = (-N) % MCHUNK
     if pad:
         prev = jnp.concatenate([prev, jnp.full((pad,), 256, jnp.int32)])
         cur = jnp.concatenate([cur, jnp.full((pad,), 256, jnp.int32)])
-    n_chunks = prev.shape[0] // CHUNK
-    # (n_chunks, CHUNK, 1) blocks: last-two block dims (CHUNK, 1) satisfy
-    # Mosaic tiling (CHUNK % 8 == 0; trailing dim equals the array's),
-    # and the kernel's one-hot builds 2D with no in-kernel reshape
-    prev2 = prev.reshape(n_chunks, CHUNK, 1)
-    cur2 = cur.reshape(n_chunks, CHUNK, 1)
+    n_chunks = prev.shape[0] // MCHUNK
+    prev2 = prev.reshape(n_chunks, MCHUNK)
+    cur2 = cur.reshape(n_chunks, MCHUNK)
 
     return pl.pallas_call(
         _hist_kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, MCHUNK), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, MCHUNK), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
         cost_estimate=pl.CostEstimate(
             flops=2 * int(prev2.size) * 256 * 256,
             bytes_accessed=int(prev2.size) * 8 + 256 * 256 * 4,

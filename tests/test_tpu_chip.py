@@ -63,14 +63,82 @@ def test_pack_pallas_bit_identical(corpus16):
 
 
 def test_decode_pallas_fetch_impls(corpus16):
-    """Every decode fetch variant compiles and is bit-exact at the
-    shipped shape."""
+    """EVERY selectable decode fetch variant (the documented
+    MHC_FETCH_IMPL values) compiles and is bit-exact at the shipped
+    shape — round-2 review: `sparse`/`mxu3` had no real-chip gate."""
     from mhc_tpu import api
     data = corpus16[: 8 << 20]
     blob = api.compress(data, mode="markov")
-    for impl in ("chunk", "mxu", "slab"):
+    for impl in ("chunk", "mxu", "mxu2", "mxu3", "mxu4", "sparse", "slab"):
         os.environ["MHC_FETCH_IMPL"] = impl
         try:
             assert api.decompress(blob) == data, impl
         finally:
             os.environ.pop("MHC_FETCH_IMPL", None)
+
+
+def test_decode_refill_impls(corpus16):
+    """Both refill implementations (windowed group + legacy scan) are
+    bit-exact on-chip at the shipped shape."""
+    from mhc_tpu import api
+    data = corpus16[: 4 << 20]
+    blob = api.compress(data, mode="markov")
+    for refill in ("group", "scan"):
+        os.environ["MHC_REFILL"] = refill
+        try:
+            assert api.decompress(blob) == data, refill
+        finally:
+            os.environ.pop("MHC_REFILL", None)
+
+
+def test_order0_selects_pallas_decode(corpus16):
+    """Order-0 at the DEFAULT decode unit must take the Pallas kernel
+    path on TPU (round-2 verdict: it silently fell back to the XLA
+    scan), and the decode must roundtrip."""
+    import jax
+    import numpy as np
+    from mhc_tpu import api, engine
+    from mhc_tpu.ops import bitpack
+    from mhc_tpu.ops.kernels import decode_pallas
+    data = corpus16[: 8 << 20]
+    st = engine.stage(data, mode="huffman")
+    enc = engine.encode(st)
+    # the admission check the engine driver runs
+    W_worst = bitpack.words_for_block(st.decode_unit)
+    max_wl = -(-int(enc.byte_lens.max()) // 4)
+    W = min(W_worst, max(-(-(max_wl + 1) // 128) * 128, 128))
+    n_tiles = -(-st.chunk // decode_pallas.LANES)
+    est = decode_pallas.vmem_bytes(W, fetch_impl="mxu2",
+                                   n_tiles=n_tiles, n_out=st.decode_unit)
+    assert est <= decode_pallas.VMEM_BUDGET, (
+        f"order-0 default decode unit must fit the Pallas VMEM budget "
+        f"(W={W}, est={est >> 20}MB)")
+    outs = engine.decode(enc, decode_method="pallas")
+    assert engine.fetch_bytes(enc, outs) == data
+
+
+def test_markov_pallas_hist_guard():
+    """method='pallas' markov histogram must raise cleanly on TPU (the
+    kernel crashes this libtpu's Mosaic compiler and wedges the relay)
+    — guarded in ops/histogram.py unless explicitly re-enabled."""
+    import jax.numpy as jnp
+    from mhc_tpu.ops import histogram
+    with pytest.raises(NotImplementedError):
+        histogram.histogram_markov(
+            jnp.zeros((2, 128), jnp.uint8), jnp.full((2,), 128, jnp.int32),
+            method="pallas")
+
+
+def test_sharded_pipeline_on_chip(corpus16):
+    """Config-4 path on real hardware: a 1-device TPU mesh runs the
+    sharded pipeline with the Pallas kernel selected per shard
+    (round-2 verdict: decompress_sharded hard-coded the scan decoder)."""
+    from mhc_tpu.parallel import mesh as meshmod, pipeline
+    data = corpus16[: 4 << 20]
+    m = meshmod.make_mesh(1)
+    blob = pipeline.compress_sharded(data, m, mode="markov")
+    out = pipeline.decompress_sharded(blob, m)   # platform default
+    assert out == data
+    out_pallas = pipeline.decompress_sharded(blob, m,
+                                             decode_method="pallas")
+    assert out_pallas == data
