@@ -105,33 +105,25 @@ def main() -> int:
             res[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
             print(f"[matrix] {name} FAILED: {e}", flush=True)
 
-    timed("mxu2_scan_raw", markov=True, fetch_impl="mxu2",
-          refill="scan", raw_out=True)
+    timed("null_none_raw", markov=True, fetch_impl="null",
+          refill="none", raw_out=True)
+    timed("null_group_raw", markov=True, fetch_impl="null",
+          refill="group", raw_out=True)
+    timed("order0_group_raw", markov=False, fetch_impl="mxu2",
+          refill="group", raw_out=True)
     timed("mxu2_group_raw", markov=True, fetch_impl="mxu2",
           refill="group", raw_out=True)
-    timed("mxu2_group_full", markov=True, fetch_impl="mxu2",
-          refill="group", raw_out=False)
-    timed("mxu3_group_raw", markov=True, fetch_impl="mxu3",
-          refill="group", raw_out=True)
-    timed("chunk_group_raw", markov=True, fetch_impl="chunk",
-          refill="group", raw_out=True)
-    timed("order0_scan_raw", markov=False, fetch_impl="chunk",
+    timed("mxu2_scan_raw", markov=True, fetch_impl="mxu2",
           refill="scan", raw_out=True)
-    timed("order0_group_raw", markov=False, fetch_impl="chunk",
-          refill="group", raw_out=True)
-    timed("mxu2_group_raw_u16", markov=True, fetch_impl="mxu2",
-          refill="group", raw_out=True, unroll=16)
-    timed("mxu2_group_raw_u32", markov=True, fetch_impl="mxu2",
-          refill="group", raw_out=True, unroll=32)
-    timed("order0_group_raw_u16", markov=False, fetch_impl="chunk",
-          refill="group", raw_out=True, unroll=16)
-    timed("order0_group_raw_u32", markov=False, fetch_impl="chunk",
-          refill="group", raw_out=True, unroll=32)
-    timed("mxu3_group_raw_u16", markov=True, fetch_impl="mxu3",
-          refill="group", raw_out=True, unroll=16)
     timed("mxu4_group_raw", markov=True, fetch_impl="mxu4",
           refill="group", raw_out=True)
+    timed("mxu4_group_full", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=False)
     timed("mxu4_group_raw_u16", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, unroll=16)
+    timed("mxu5_group_raw", markov=True, fetch_impl="mxu5",
+          refill="group", raw_out=True)
+    timed("mxu5_group_raw_u16", markov=True, fetch_impl="mxu5",
           refill="group", raw_out=True, unroll=16)
     print(json.dumps(res), flush=True)
     return 0

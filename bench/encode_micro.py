@@ -92,6 +92,14 @@ def main() -> int:
         lambda: bp._bilinear_lookup_i8(packed_t, prev_i, data_i))))
     report("lookup_cl_default", timed(
         lambda: api.lookup_cl(ud, nvd, tables)))
+    report("lookup_cl_t", timed(
+        lambda: api.lookup_cl_t(ud, nvd, tables)))
+
+    @jax.jit
+    def transpose_i32(u):
+        return u.astype(jnp.int32).T
+
+    report("units_i32_transpose", timed(lambda: transpose_i32(ud)))
     codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
     jax.block_until_ready(codes_l)
 

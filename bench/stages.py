@@ -45,13 +45,22 @@ def main() -> int:
     print(f"[stages] {n_mb}MB {mode}, du={du}, "
           f"{len(st.units)} chunks x {st.chunk} units", flush=True)
 
+    def _force(out):
+        # block_until_ready returns early for warm Mosaic dispatches —
+        # force a host scalar per jax leaf (CLAUDE.md traps)
+        for leaf in jax.tree_util.tree_leaves(out):
+            if isinstance(leaf, jax.Array) and leaf.size:
+                int(jnp.sum(leaf.reshape(-1)
+                            [:: max(leaf.size // 4096, 1)]
+                            .astype(jnp.int32)))
+
     def stage(name, fn, reps=2):
         try:
-            fn()  # compile
+            _force(fn())  # compile
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn())
+                _force(fn())
                 best = min(best, time.perf_counter() - t0)
             gbps = n_bytes / best / 1e9
             results[name] = {"warm_s": round(best, 4),
@@ -176,9 +185,9 @@ def main() -> int:
         return outs
 
     if jax.default_backend() == "tpu":
+        stage("decode_pallas_mxu2", lambda: run_decode("pallas", "mxu2"))
+        stage("decode_pallas_mxu4", lambda: run_decode("pallas", "mxu4"))
         stage("decode_pallas_chunk", lambda: run_decode("pallas", "chunk"))
-        stage("decode_pallas_mxu", lambda: run_decode("pallas", "mxu"))
-        stage("decode_pallas_slab", lambda: run_decode("pallas", "slab"))
     stage("decode_scan", lambda: run_decode("scan"))
 
     stage("DECODE_total", lambda: engine.decode(enc))

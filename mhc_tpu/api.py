@@ -102,6 +102,25 @@ def lookup_cl(units, n_valid, tables):
     return jnp.where(valid, cl, jnp.uint32(0))
 
 
+@jax.jit
+def lookup_cl_t(units, n_valid, tables):
+    """lookup_cl in STEP-MAJOR (n, B) layout: the units transpose
+    happens on the 1-byte input instead of the 4-byte cl plane, and the
+    pack kernel reads the result directly via its BlockSpec (no
+    moveaxis relayout of the operand — that cost ~2 ns/byte)."""
+    # cast BEFORE transposing: u8 relayouts are pathologically slow on
+    # TPU (sublane shuffles per nibble); the i32 transpose uses the
+    # fast path
+    ut = units.astype(jnp.int32).T               # (n, B)
+    n, B = ut.shape
+    prev = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), ut[:-1]], axis=0)
+    cl = bitpack._gather_packed(
+        tables["codes"], tables["lengths"], prev, ut)
+    valid = jnp.arange(n)[:, None] < n_valid[None, :]
+    return jnp.where(valid, cl, jnp.uint32(0))
+
+
 def resolve_decode_unit(block_size: int, decode_unit: int | None,
                         markov: bool = True) -> int:
     """Clamp the decode unit to the block size; units must divide blocks."""
@@ -228,7 +247,7 @@ def compress(data: bytes, mode: str = "markov",
             if pack_method == "pallas":
                 from .ops.kernels import encode_pallas
                 words, bits = encode_pallas.pack_blocks_pallas(
-                    lookup_cl(ud, nvd, tables))
+                    lookup_cl_t(ud, nvd, tables), step_major=True)
             else:
                 encode = (bitpack.encode_blocks_merge
                           if pack_method == "merge"

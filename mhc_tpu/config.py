@@ -10,7 +10,7 @@ at first trace).
 
 Knob catalog (see CLAUDE.md):
   MHC_DECODE_METHOD  scan | pallas
-  MHC_FETCH_IMPL     chunk | mxu | mxu2 | mxu3 | mxu4 | sparse | slab
+  MHC_FETCH_IMPL     chunk | mxu | mxu2 | mxu3 | mxu4 | mxu5 | sparse | slab
   MHC_REFILL         group | scan      (Pallas decode word refill)
   MHC_PACK_METHOD    pallas | merge | scatter
   MHC_LOOKUP         mxu | gather

@@ -125,17 +125,21 @@ def encode(st: Staged, hist_method: str | None = None,
     for ud, nvd in zip(st.units, st.n_valid):
         if pack_method == "pallas":
             from .ops.kernels import encode_pallas
-            cl = api.lookup_cl(ud, nvd, tables)   # packed (len<<16|code)
+            # packed (len<<16|code), STEP-MAJOR: the pack kernel reads
+            # it via its BlockSpec with no operand relayout
+            cl = api.lookup_cl_t(ud, nvd, tables)
             if fused:
                 # fused pack+compaction: dense aligned payload straight
                 # from the bubble stream, offsets on device — no host
                 # round-trip between pack and compaction
-                pay, bits = encode_pallas.pack_blocks_to_payload(cl)
+                pay, bits = encode_pallas.pack_blocks_to_payload(
+                    cl, step_major=True)
                 payload.append(pay)
                 packed.append((None, bits))
                 bits.copy_to_host_async()
                 continue
-            words, bits = encode_pallas.pack_blocks_pallas(cl)
+            words, bits = encode_pallas.pack_blocks_pallas(
+                cl, step_major=True)
         else:
             enc = (bitpack.encode_blocks_merge if pack_method == "merge"
                    else bitpack.encode_blocks)

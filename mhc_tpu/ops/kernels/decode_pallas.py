@@ -87,6 +87,7 @@ def vmem_bytes(W: int, out_chunk: int = OUT_CHUNK,
     out_full = n_tiles * 8 * lanes * max(n_out, out_chunk)
     ft = 2 * 256 * 79 * 4
     slab = 2 * 32 * 8 * 64 * lanes * 4 if fetch_impl == "slab" else 0
+    slab += 2 * 79 * 8 * lanes * 4          # order-0 aux stack operand
     window = 8 * lanes * WINDOW * 4 + 8 * lanes * 8 * 4   # group refill
     scratch = 7 * 8 * lanes * 4
     return (words + out_blocks + out_full + ft + slab + window + scratch
@@ -172,8 +173,11 @@ def _prep_fetch(ft, markov: bool, fetch_impl: str, lanes: int,
     prep = {"ft": ft, "markov": markov, "fetch_impl": fetch_impl,
             "ftsym": ftsym}
     if not markov:
-        NV = 79
-        acc = jnp.broadcast_to(ft[0][:, None, None], (NV, 8, L))
+        # ftsym here is the PRE-BROADCAST (79, 8, L) context-0 stack,
+        # computed in XLA and passed as a kernel operand: building the
+        # broadcast in-kernel at the top level crashes the remote
+        # Mosaic compiler (HTTP 500) on this libtpu
+        acc = ftsym
         prep["o0"] = (acc[:len(_PAIR_COLS)], acc[len(_PAIR_COLS):])
     elif fetch_impl in ("mxu", "mxu2", "mxu3", "mxu4"):
         prep["iota_c"] = jax.lax.broadcasted_iota(
@@ -185,6 +189,14 @@ def _prep_fetch(ft, markov: bool, fetch_impl: str, lanes: int,
         else:
             prep["planes"] = [((ft >> (8 * k)) & 255).astype(jnp.bfloat16)
                               for k in range(4)]
+    elif fetch_impl == "mxu5":
+        prep["iota_c"] = jax.lax.broadcasted_iota(
+            jnp.int32, (256, 8, L), 0)
+        # int8 planes, biased by -128 so 0..255 fits int8; the one-hot
+        # contraction yields v-128 exactly (int32 accumulation)
+        prep["planes_i8"] = jnp.concatenate(
+            [(((ft >> (8 * k)) & 255) - 128).astype(jnp.int8)
+             for k in range(4)], axis=1)         # (256, 4*79)
     # resolve iotas for the wide (vax=0) path
     NP, NS = len(_PAIR_COLS), len(_SYM_COLS)
     prep["liota"] = jax.lax.broadcasted_iota(
@@ -235,6 +247,22 @@ def _fetch_all_mxu3(prep, ctx):
         acc = v if acc is None else acc | v
     np_ = len(_PAIR_COLS)
     return acc[:np_], acc[np_:], 0      # stacked (NV, 8, L), value axis 0
+
+
+def _fetch_all_mxu5(prep, ctx):
+    """mxu3 on the v5e int8 MXU path (2x bf16 rate): biased int8 planes
+    with int32 accumulation — exact, and the recombine needs no
+    f32->int casts."""
+    oh = (ctx[None, :, :] == prep["iota_c"]).astype(jnp.int8)
+    dn = (((0,), (0,)), ((), ()))
+    x = jax.lax.dot_general(prep["planes_i8"], oh, dimension_numbers=dn,
+                            preferred_element_type=jnp.int32) + 128
+    acc = None
+    for k in range(4):
+        v = x[k * 79:(k + 1) * 79] << (8 * k)
+        acc = v if acc is None else acc | v
+    np_ = len(_PAIR_COLS)
+    return acc[:np_], acc[np_:], 0
 
 
 def _fetch_resolve_mxu4(prep, ctx, win):
@@ -368,6 +396,14 @@ def _resolve_lanes(pairs_w, symws_w, win, ctx):
 def _decode_one(prep, b0, b1, b2, cnt, ctx):
     markov = prep["markov"]
     fetch_impl = prep["fetch_impl"]
+    if fetch_impl == "null":
+        # DIAGNOSTIC ONLY (bench/decode_matrix.py): fixed 8-bit symbols,
+        # no fetch/resolve — isolates the loop+refill+store floor
+        sym = ((b0 >> jnp.uint32(24)) & 255).astype(jnp.int32)
+        b0 = (b0 << jnp.uint32(8)) | (b1 >> jnp.uint32(24))
+        b1 = (b1 << jnp.uint32(8)) | (b2 >> jnp.uint32(24))
+        b2 = b2 << jnp.uint32(8)
+        return b0, b1, b2, cnt - 8, sym
     if markov and fetch_impl == "mxu4":
         win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
         length, sym = _fetch_resolve_mxu4(prep, ctx, win)
@@ -385,6 +421,8 @@ def _decode_one(prep, b0, b1, b2, cnt, ctx):
                                             ctx, markov)
     elif fetch_impl == "mxu3":
         pairs, symws, vax = _fetch_all_mxu3(prep, ctx)
+    elif fetch_impl == "mxu5":
+        pairs, symws, vax = _fetch_all_mxu5(prep, ctx)
     elif fetch_impl in ("mxu", "mxu2"):
         pairs, symws, vax = _fetch_all_mxu2(prep, ctx)
     else:
@@ -523,6 +561,8 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
             if refill == "group":
                 b0, b1, b2, cnt, wp = _refill_window(
                     wins[:], gbs[:], w64_iota, b0, b1, b2, cnt, wp)
+            elif refill == "none":
+                pass    # DIAGNOSTIC: no refill (garbage output)
             else:
                 b0, b1, b2, cnt, wp = _refill(allw, w_iota,
                                               b0, b1, b2, cnt, wp)
@@ -659,31 +699,36 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                            memory_space=pltpu.VMEM)
     words_spec = pl.BlockSpec((1, W, 8, L), lambda t, o: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
-    if fetch_impl == "slab":
-        ftsym_wide = build_sym_slabs(ft, lanes=L)
+    if fetch_impl == "slab" or not markov:
+        if fetch_impl == "slab" and markov:
+            aux = build_sym_slabs(ft, lanes=L)
+            aux_spec = pl.BlockSpec((32, 8, 64 * L),
+                                    lambda t, o: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        else:
+            # order-0: pre-broadcast context-0 row stack as an operand
+            # (in-kernel top-level broadcasts crash this Mosaic)
+            aux = jnp.broadcast_to(ft[0][:, None, None], (79, 8, L))
+            aux_spec = pl.BlockSpec((79, 8, L), lambda t, o: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
 
-        def kernel_slab(ft_ref, ftsym_ref, words_ref, out_ref, *scr):
+        def kernel_aux(ft_ref, aux_ref, words_ref, out_ref, *scr):
             return _decode_kernel(ft_ref, words_ref, out_ref, *scr,
                                   W=W, out_chunk=ochunk, markov=markov,
-                                  fetch_impl="slab", refill=refill,
-                                  unroll=U, ftsym_ref=ftsym_ref)
+                                  fetch_impl=fetch_impl, refill=refill,
+                                  unroll=U, ftsym_ref=aux_ref)
 
         out = pl.pallas_call(
-            kernel_slab,
+            kernel_aux,
             grid=grid,
-            in_specs=[
-                ft_spec,
-                pl.BlockSpec((32, 8, 64 * L), lambda t, o: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                words_spec,
-            ],
+            in_specs=[ft_spec, aux_spec, words_spec],
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             cost_estimate=cost,
             compiler_params=compiler_params,
             interpret=interpret,
-        )(ft, ftsym_wide, words4)
+        )(ft, aux, words4)
     else:
         out = pl.pallas_call(
             partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
@@ -715,7 +760,13 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
 def decode_tile_reference(words_tile: jnp.ndarray, ft: jnp.ndarray,
                           n_out: int, markov: bool,
                           fetch_impl: str = "chunk") -> jnp.ndarray:
-    ftsym = build_sym_slabs(ft) if fetch_impl == "slab" else None
+    if fetch_impl == "slab" and markov:
+        ftsym = build_sym_slabs(ft)
+    elif not markov:
+        ftsym = jnp.broadcast_to(
+            jnp.asarray(ft)[0][:, None, None], (79, 8, 128))
+    else:
+        ftsym = None
     """Pure-jnp mirror of the kernel's symbol loop for ONE (8,128,W) tile.
 
     Runs compiled on any backend — the correctness oracle for the Pallas

@@ -70,9 +70,10 @@ def _pack_round(a0, a1, cnt, codes2, lens2):
 
 def _pack_kernel(cl_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
                  a0s, a1s, cnts, totals, *, out_chunk: int, n_chunks: int,
-                 unroll: int = PACK_UNROLL):
+                 unroll: int = PACK_UNROLL, step_major: bool = False):
     # cl_ref: PACKED (len<<16 | code) u32 per symbol — one operand
-    # stream instead of separate code+len planes
+    # stream instead of separate code+len planes. Block layout is
+    # (1, steps, 8, 128) or (steps, 1, 8, 128) when step_major.
     o = pl.program_id(1)
 
     @pl.when(o == 0)
@@ -82,12 +83,15 @@ def _pack_kernel(cl_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
         cnts[:] = jnp.zeros((8, 128), jnp.int32)
         totals[:] = jnp.zeros((8, 128), jnp.int32)
 
+    def _cl(j):
+        return cl_ref[j, 0] if step_major else cl_ref[0, j]
+
     def body(i, carry):
         a0, a1, cnt, tot = carry
         for r in range(unroll):           # amortize the per-iter tax
             j = i * unroll + r
-            cl0 = cl_ref[0, 2 * j]
-            cl1 = cl_ref[0, 2 * j + 1]
+            cl0 = _cl(2 * j)
+            cl1 = _cl(2 * j + 1)
             c0 = cl0 & jnp.uint32(0xFFFF)
             c1 = cl1 & jnp.uint32(0xFFFF)
             l0 = (cl0 >> jnp.uint32(16)).astype(jnp.int32)
@@ -122,31 +126,48 @@ def _cl_packed(codes: jnp.ndarray, lens: jnp.ndarray | None):
     return ((lens.astype(jnp.uint32) << 16) | codes.astype(jnp.uint32))
 
 
-def _run_bubble_pack(cl: jnp.ndarray, interpret: bool):
-    """Shared bubble-stream kernel driver: (Rp, n_pad) packed cl ->
-    (bwr (Rp, rounds) words, bvr valid, tail, nbits) host-order rows."""
-    R, n = cl.shape
+def _run_bubble_pack(cl: jnp.ndarray, interpret: bool,
+                     step_major: bool = False):
+    """Shared bubble-stream kernel driver -> (bwr (Rp, rounds) words,
+    bvr valid, tail, nbits) host-order rows.
+
+    cl: (R, n) packed (len<<16|code), or (n, R) when step_major=True
+    (api.lookup_cl_t) — the step-major form feeds the kernel through
+    its BlockSpec with NO moveaxis relayout of the operand."""
+    if step_major:
+        n, R = cl.shape
+    else:
+        R, n = cl.shape
     n_tiles = (R + LANES - 1) // LANES
     Rp = n_tiles * LANES
-    if Rp != R:
-        cl = jnp.pad(cl, ((0, Rp - R), (0, 0)))
     n_pad = (n + CHUNK_STEPS - 1) // CHUNK_STEPS * CHUNK_STEPS
-    if n_pad != n:
-        cl = jnp.pad(cl, ((0, 0), (0, n_pad - n)))
+    if step_major:
+        if Rp != R or n_pad != n:
+            cl = jnp.pad(cl, ((0, n_pad - n), (0, Rp - R)))
+        # (steps, tiles, 8, 128): pure reshape — the BlockSpec index map
+        # does the (t, o) -> (o, t) swap, so no data movement happens
+        cl4 = cl.reshape(n_pad, n_tiles, 8, 128)
+        in_spec = pl.BlockSpec((CHUNK_STEPS, 1, 8, 128),
+                               lambda t, o: (o, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        if Rp != R:
+            cl = jnp.pad(cl, ((0, Rp - R), (0, 0)))
+        if n_pad != n:
+            cl = jnp.pad(cl, ((0, 0), (0, n_pad - n)))
+        # (tiles, steps, 8, 128): step-major so each lane reads dense rows
+        cl4 = jnp.moveaxis(cl.reshape(n_tiles, 8, 128, n_pad), 3, 1)
+        in_spec = pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
+                               lambda t, o: (t, o, 0, 0),
+                               memory_space=pltpu.VMEM)
     n_chunks = n_pad // CHUNK_STEPS
-    # (tiles, steps, 8, 128): step-major so each lane reads dense rows
-    cl4 = jnp.moveaxis(cl.reshape(n_tiles, 8, 128, n_pad), 3, 1)
     n_rounds = n_pad // 2
     kernel = partial(_pack_kernel, out_chunk=CHUNK_STEPS,
-                     n_chunks=n_chunks)
+                     n_chunks=n_chunks, step_major=step_major)
     bw, bv, tail, nbits = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
-                         lambda t, o: (t, o, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[in_spec],
         out_specs=(
             pl.BlockSpec((1, CHUNK_STEPS // 2, 8, 128),
                          lambda t, o: (t, o, 0, 0),
@@ -184,20 +205,22 @@ def _run_bubble_pack(cl: jnp.ndarray, interpret: bool):
     return bwr, bvr, tail_r, nbits_r, Rp
 
 
-@partial(jax.jit, static_argnames=("max_len", "interpret"))
+@partial(jax.jit, static_argnames=("max_len", "interpret", "step_major"))
 def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray | None = None,
                        max_len: int = MAX_CODE_LEN,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       step_major: bool = False):
     """codes/lens: (R, n) per-symbol codes and lengths (0-len = masked),
-    or the packed (len<<16 | code) u32 plane with lens=None.
+    or the packed (len<<16 | code) u32 plane with lens=None — (n, R)
+    step-major from api.lookup_cl_t when step_major=True.
 
     Returns (words (R, W) uint32, bits (R,) uint32) — same contract as
     encode_blocks/encode_blocks_merge given precomputed codes+lens.
     """
-    R, n = codes.shape
+    n, R = codes.shape if step_major else codes.shape[::-1]
     W = words_for_block(n, max_len)
     bwr, bvr, tail_r, nbits_r, Rp = _run_bubble_pack(
-        _cl_packed(codes, lens), interpret)
+        _cl_packed(codes, lens), interpret, step_major)
     # XLA compaction: bubble rows -> dense per-unit word streams.
     # Invalid slots are sent OUT OF BOUNDS (dropped by mode="drop") so
     # the remaining indices are provably unique — unique_indices lets
@@ -218,11 +241,12 @@ def pack_blocks_pallas(codes: jnp.ndarray, lens: jnp.ndarray | None = None,
     return words[:R, :W], nbits_r[:R]
 
 
-@partial(jax.jit, static_argnames=("max_len", "interpret"))
+@partial(jax.jit, static_argnames=("max_len", "interpret", "step_major"))
 def pack_blocks_to_payload(codes: jnp.ndarray,
                            lens: jnp.ndarray | None = None,
                            max_len: int = MAX_CODE_LEN,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           step_major: bool = False):
     """Fused pack + aligned-payload compaction: bubble stream -> dense
     4-byte-aligned payload in ONE scatter, with the per-unit word
     offsets computed on device (exclusive cumsum of ceil(bits/32)).
@@ -234,10 +258,10 @@ def pack_blocks_to_payload(codes: jnp.ndarray,
     offsets[r]..offsets[r]+ceil(bits[r]/32) hold unit r's stream,
     positions past offsets[-1] are zero — byte-identical to the
     two-step path (tested)."""
-    R, n = codes.shape
+    n, R = codes.shape if step_major else codes.shape[::-1]
     W = words_for_block(n, max_len)
     bwr, bvr, tail_r, nbits_r, Rp = _run_bubble_pack(
-        _cl_packed(codes, lens), interpret)
+        _cl_packed(codes, lens), interpret, step_major)
     word_lens = ((nbits_r + 31) >> 5).astype(jnp.int32)
     offsets = jnp.cumsum(word_lens) - word_lens          # exclusive
     total_pad = Rp * W

@@ -41,13 +41,16 @@ def _hist_kernel(prev_ref, cur_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p = prev_ref[:]                                   # (1, MCHUNK)
-    c = cur_ref[:]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (256, MCHUNK), 0)
-    a = (jnp.broadcast_to(p, (256, MCHUNK)) == iota).astype(jnp.bfloat16)
-    b = (jnp.broadcast_to(c, (256, MCHUNK)) == iota).astype(jnp.bfloat16)
+    p = prev_ref[0]                                   # (8, MCHUNK//8)
+    c = cur_ref[0]
+    K = MCHUNK // 8
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, K), 0)
+    a = (jnp.broadcast_to(p[None], (256, 8, K)) == iota).astype(
+        jnp.bfloat16)
+    b = (jnp.broadcast_to(c[None], (256, 8, K)) == iota).astype(
+        jnp.bfloat16)
     partial_counts = jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        a, b, dimension_numbers=(((1, 2), (1, 2)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[:] += partial_counts.astype(jnp.int32)
 
@@ -63,16 +66,16 @@ def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
         prev = jnp.concatenate([prev, jnp.full((pad,), 256, jnp.int32)])
         cur = jnp.concatenate([cur, jnp.full((pad,), 256, jnp.int32)])
     n_chunks = prev.shape[0] // MCHUNK
-    prev2 = prev.reshape(n_chunks, MCHUNK)
-    cur2 = cur.reshape(n_chunks, MCHUNK)
+    prev2 = prev.reshape(n_chunks, 8, MCHUNK // 8)
+    cur2 = cur.reshape(n_chunks, 8, MCHUNK // 8)
 
     return pl.pallas_call(
         _hist_kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, MCHUNK), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, MCHUNK // 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MCHUNK), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, MCHUNK // 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0),

@@ -69,7 +69,7 @@ def test_decode_pallas_fetch_impls(corpus16):
     from mhc_tpu import api
     data = corpus16[: 8 << 20]
     blob = api.compress(data, mode="markov")
-    for impl in ("chunk", "mxu", "mxu2", "mxu3", "mxu4", "sparse", "slab"):
+    for impl in ("chunk", "mxu", "mxu2", "mxu3", "mxu4", "mxu5", "sparse", "slab"):
         os.environ["MHC_FETCH_IMPL"] = impl
         try:
             assert api.decompress(blob) == data, impl
