@@ -192,6 +192,26 @@ def _fetch_subs(x: jnp.ndarray):
     return subs
 
 
+def _expand_words_u32(payload_d, offsets, word_lens, W):
+    """Aligned-payload expansion, MHC_EXPAND_IMPL-resolved (round-3 v5e:
+    batched slices 32 ms vs flat gather 107 ms at the 32 MB shape)."""
+    impl = _cfg.expand_impl()
+    fn = {"slices": bitpack.device_expand_words_slices,
+          "blocks": bitpack.device_expand_words_blocks}.get(
+        impl, bitpack.device_expand_words_u32)
+    return fn(payload_d, offsets, word_lens, W)
+
+
+def _compact_words(words, offsets, total_pad):
+    """Aligned-payload compaction, MHC_COMPACT_IMPL-resolved (round-3
+    v5e: batched update-slices 30 ms vs cumsum+gather 107 ms)."""
+    impl = _cfg.compact_impl()
+    fn = {"slices": bitpack.device_compact_words_slices,
+          "blocks": bitpack.device_compact_words_blocks}.get(
+        impl, bitpack.device_compact_words)
+    return fn(words, offsets, total_pad)
+
+
 def compress(data: bytes, mode: str = "markov",
              block_size: int = DEFAULT_BLOCK_SIZE,
              hist_method: str | None = None, crc: bool = True,
@@ -244,9 +264,12 @@ def compress(data: bytes, mode: str = "markov",
     with ph("pack", orig_len):
         packed = []
         for ud, nvd in devs:
-            if pack_method == "pallas":
+            if pack_method in ("pallas", "dense"):
                 from .ops.kernels import encode_pallas
-                words, bits = encode_pallas.pack_blocks_pallas(
+                pk = (encode_pallas.pack_blocks_dense
+                      if pack_method == "dense"
+                      else encode_pallas.pack_blocks_pallas)
+                words, bits = pk(
                     lookup_cl_t(ud, nvd, tables), step_major=True)
             else:
                 encode = (bitpack.encode_blocks_merge
@@ -298,7 +321,7 @@ def compress(data: bytes, mode: str = "markov",
                 gran = (1 << 18) if aligned else (1 << 20)
                 pad = max(-(-total // gran) * gran, gran)
                 if aligned:
-                    payload_d = bitpack.device_compact_words(
+                    payload_d = _compact_words(
                         words, jnp.asarray(offsets), pad)
                 else:
                     payload_d = bitpack.device_compact_payload(
@@ -434,7 +457,7 @@ def decompress(blob: bytes, verify: bool = True,
             with ph("h2d", total_w * 4):
                 payload_d = jnp.asarray(flat)
             with ph("expand", total_w * 4):
-                words_d = bitpack.device_expand_words_u32(
+                words_d = _expand_words_u32(
                     payload_d, jnp.asarray(offsets),
                     jnp.asarray(word_lens), W)
         else:

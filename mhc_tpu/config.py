@@ -10,14 +10,14 @@ at first trace).
 
 Knob catalog (see CLAUDE.md):
   MHC_DECODE_METHOD  scan | pallas
-  MHC_FETCH_IMPL     chunk | mxu | mxu2 | mxu3 | mxu4 | mxu5 | sparse | slab
+  MHC_FETCH_IMPL     chunk | mxu | mxu2..mxu6 | sparse | slab
   MHC_REFILL         group | scan      (Pallas decode word refill)
-  MHC_PACK_METHOD    pallas | merge | scatter
+  MHC_PACK_METHOD    dense | pallas | merge | scatter
   MHC_LOOKUP         mxu | gather
-  MHC_HIST_METHOD    matmul | pallas | scatter
-  MHC_EXPAND_IMPL    slices | gather
+  MHC_HIST_METHOD    pallas | matmul | scatter
+  MHC_EXPAND_IMPL    slices | gather | blocks
   MHC_LANE_TILES     int cap on decode lane tiling (1/2/4)
-  MHC_COMPACT_IMPL   gather | slices | scatteradd  (payload compaction)
+  MHC_COMPACT_IMPL   slices | gather | blocks  (payload compaction)
 """
 
 from __future__ import annotations
@@ -37,8 +37,10 @@ def decode_method() -> str:
 
 
 def fetch_impl() -> str:
-    # mxu2: 8-bit-plane one-hot MXU fetch — 2.1x chunk on v5e (round 2)
-    return os.environ.get("MHC_FETCH_IMPL", "mxu2")
+    # mxu4: stacked bf16 one-hot fetch + direct f32 plane resolve —
+    # fastest markov variant on v5e (bench/decode_matrix.py round 3:
+    # 0.334 GB/s raw vs mxu2 0.292, mxu5 0.263, chunk ~0.08)
+    return os.environ.get("MHC_FETCH_IMPL", "mxu4")
 
 
 def refill_impl() -> str:
@@ -48,8 +50,12 @@ def refill_impl() -> str:
 
 
 def pack_method() -> str:
+    # dense: in-kernel word-stream assembly (reverse group window) —
+    # 2.1x the bubble+scatter pack on v5e and removes the compaction
+    # scatter entirely (48 vs 102 ms kernel at 32 MB, round 3).
+    # pallas = bubble-stream legacy, merge/scatter = XLA packers.
     return os.environ.get("MHC_PACK_METHOD") or (
-        "pallas" if _tpu() else "merge")
+        "dense" if _tpu() else "merge")
 
 
 def lookup_method() -> str:
@@ -59,8 +65,11 @@ def lookup_method() -> str:
 
 
 def hist_method() -> str:
+    # pallas v3 (VMEM int8 one-hot + MXU): 1.25x the XLA matmul on v5e
+    # (139 vs 174 ms at 32 MB markov, round 3) and no HBM one-hot
+    # materialization; scatter-add wins on CPU
     return os.environ.get("MHC_HIST_METHOD") or (
-        "matmul" if _tpu() else "scatter")
+        "pallas" if _tpu() else "scatter")
 
 
 def expand_impl() -> str:
@@ -79,4 +88,8 @@ def unroll() -> int:
 
 
 def compact_impl() -> str:
-    return os.environ.get("MHC_COMPACT_IMPL", "gather")
+    # slices: batched ascending dynamic-update-slices — 30 vs 107 ms
+    # for the cumsum+gather form at 32 MB on v5e (round 3). CPU keeps
+    # the gather (XLA:CPU scan-of-slices is serial and slow).
+    return os.environ.get("MHC_COMPACT_IMPL") or (
+        "slices" if _tpu() else "gather")

@@ -123,7 +123,7 @@ def encode(st: Staged, hist_method: str | None = None,
     packed = []
     payload = []
     for ud, nvd in zip(st.units, st.n_valid):
-        if pack_method == "pallas":
+        if pack_method in ("pallas", "dense"):
             from .ops.kernels import encode_pallas
             # packed (len<<16|code), STEP-MAJOR: the pack kernel reads
             # it via its BlockSpec with no operand relayout
@@ -138,8 +138,10 @@ def encode(st: Staged, hist_method: str | None = None,
                 packed.append((None, bits))
                 bits.copy_to_host_async()
                 continue
-            words, bits = encode_pallas.pack_blocks_pallas(
-                cl, step_major=True)
+            pk = (encode_pallas.pack_blocks_dense
+                  if pack_method == "dense"
+                  else encode_pallas.pack_blocks_pallas)
+            words, bits = pk(cl, step_major=True)
         else:
             enc = (bitpack.encode_blocks_merge if pack_method == "merge"
                    else bitpack.encode_blocks)
@@ -172,7 +174,7 @@ def encode(st: Staged, hist_method: str | None = None,
         gran = (1 << 18) if aligned else (1 << 20)
         pad = max(-(-total // gran) * gran, gran)
         if aligned:
-            payload.append(bitpack.device_compact_words(
+            payload.append(api._compact_words(
                 words, jnp.asarray(offsets), pad))
         else:
             payload.append(bitpack.device_compact_payload(
@@ -222,10 +224,7 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
         offsets = np.zeros(C + 1, np.int32)
         np.cumsum(lens, out=offsets[1:])
         if aligned:
-            expand = (bitpack.device_expand_words_slices
-                      if _cfg.expand_impl() == "slices"
-                      else bitpack.device_expand_words_u32)
-            words_d = expand(
+            words_d = api._expand_words_u32(
                 payload_d, jnp.asarray(offsets), jnp.asarray(lens), W)
         else:
             words_d = bitpack.device_expand_words(

@@ -403,45 +403,157 @@ def device_expand_words_u32(payload: jnp.ndarray, word_offsets: jnp.ndarray,
     return jnp.where(ok, val, 0)
 
 
-@partial(jax.jit, static_argnames=("W",))
+@partial(jax.jit, static_argnames=("W", "batch"))
 def device_expand_words_slices(payload: jnp.ndarray,
                                word_offsets: jnp.ndarray,
-                               word_lens: jnp.ndarray, W: int) -> jnp.ndarray:
-    """device_expand_words_u32 as a scan of R dynamic slices instead of
-    one (R, W) flat gather: each step DMAs a contiguous W-word window —
-    dense copies instead of per-element gather addressing."""
+                               word_lens: jnp.ndarray, W: int,
+                               batch: int = 4) -> jnp.ndarray:
+    """device_expand_words_u32 as a scan of dynamic slices instead of
+    one (R, W) flat gather: each step DMAs `batch` contiguous W-word
+    windows — dense copies instead of per-element gather addressing.
+    Batching amortizes the per-step dispatch: 49 -> 32 ms at the 32 MB
+    bench shape on v5e (round 3), vs 107 ms for the flat gather."""
     R = word_lens.shape[0]
+    K = batch
+    Rp = -(-R // K) * K
     paypad = jnp.concatenate([payload, jnp.zeros((W,), payload.dtype)])
+    offs = word_offsets[:R].astype(jnp.int32)
+    if Rp != R:
+        offs = jnp.concatenate([offs, jnp.zeros((Rp - R,), jnp.int32)])
     iw = jnp.arange(W, dtype=jnp.int32)
 
     def step(_, r):
-        row = jax.lax.dynamic_slice(paypad, (word_offsets[r],), (W,))
-        return None, jnp.where(iw < word_lens[r], row, 0)
+        rows = [jax.lax.dynamic_slice(paypad, (offs[r * K + k],), (W,))
+                for k in range(K)]
+        return None, jnp.stack(rows)
 
-    _, rows = jax.lax.scan(step, None, jnp.arange(R, dtype=jnp.int32))
-    return rows
+    _, rows = jax.lax.scan(step, None, jnp.arange(Rp // K, dtype=jnp.int32))
+    rows = rows.reshape(Rp, W)[:R]
+    return jnp.where(iw[None, :] < word_lens[:, None], rows, 0)
 
 
-@partial(jax.jit, static_argnames=("total_pad",))
+@partial(jax.jit, static_argnames=("total_pad", "batch"))
 def device_compact_words_slices(words: jnp.ndarray,
                                 word_offsets: jnp.ndarray,
-                                total_pad: int) -> jnp.ndarray:
-    """device_compact_words as a scan of R dynamic-update-slices in
+                                total_pad: int,
+                                batch: int = 16) -> jnp.ndarray:
+    """device_compact_words as a scan of dynamic-update-slices in
     ASCENDING unit order: unit r writes its full W-word row at its
     offset; the (W - len) garbage words beyond its true stream are
     overwritten by unit r+1's write at offset[r]+len[r]. The buffer
     carries W slack words so the last unit's garbage lands past
-    total_pad. Bit-identical to device_compact_words (tested)."""
+    total_pad. `batch` rows per scan step amortizes dispatch (45 ->
+    30 ms at the 32 MB bench shape on v5e, vs 107 ms for the
+    cumsum+flat-gather form). Bit-identical to device_compact_words
+    (tested); zero-padded rows parked at the true total keep the
+    ascending-overwrite argument for the R % batch tail."""
     R, W = words.shape
+    K = batch
+    Rp = -(-R // K) * K
+    total = word_offsets[-1]
+    offs = word_offsets[:R].astype(jnp.int32)
+    if Rp != R:
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(total.astype(jnp.int32), (Rp - R,))])
+        words = jnp.concatenate(
+            [words, jnp.zeros((Rp - R, W), words.dtype)])
 
     def step(buf, r):
-        return jax.lax.dynamic_update_slice(buf, words[r],
-                                            (word_offsets[r],)), None
+        for k in range(K):
+            buf = jax.lax.dynamic_update_slice(
+                buf, words[r * K + k], (offs[r * K + k],))
+        return buf, None
 
     buf0 = jnp.zeros((total_pad + W,), words.dtype)
-    buf, _ = jax.lax.scan(step, buf0, jnp.arange(R, dtype=jnp.int32))
+    buf, _ = jax.lax.scan(step, buf0, jnp.arange(Rp // K, dtype=jnp.int32))
     j = jnp.arange(total_pad, dtype=jnp.int32)
-    return jnp.where(j < word_offsets[-1], buf[:total_pad], 0)
+    return jnp.where(j < total, buf[:total_pad], 0)
+
+
+_BLK = 128    # words per windowed-gather/scatter slice
+
+
+@partial(jax.jit, static_argnames=("W",))
+def device_expand_words_blocks(payload: jnp.ndarray,
+                               word_offsets: jnp.ndarray,
+                               word_lens: jnp.ndarray, W: int) -> jnp.ndarray:
+    """device_expand_words_u32 via a WINDOWED gather: one 128-word slice
+    per (unit, block) instead of one gather element per word — ~100x
+    fewer gather rows for XLA:TPU to address (the per-element flat take
+    prices at ~15 ns/word on v5e; Mosaic DMA can't do word-ragged copies
+    at all — slices must be 1024-element tiles, probed round 3).
+    Bit-identical to device_expand_words_u32 (tested)."""
+    R = word_lens.shape[0]
+    T = payload.shape[0]
+    Wb = -(-W // _BLK) * _BLK
+    B = Wb // _BLK
+    paypad = jnp.concatenate([payload, jnp.zeros((_BLK,), payload.dtype)])
+    starts = (word_offsets[:R, None].astype(jnp.int32)
+              + jnp.arange(B, dtype=jnp.int32)[None, :] * _BLK)
+    starts = jnp.clip(starts, 0, T)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    out = jax.lax.gather(paypad, starts.reshape(-1, 1), dn,
+                         slice_sizes=(_BLK,),
+                         indices_are_sorted=False,
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    rows = out.reshape(R, Wb)[:, :W]
+    ok = jnp.arange(W)[None, :] < word_lens[:, None]
+    return jnp.where(ok, rows, 0)
+
+
+@partial(jax.jit, static_argnames=("total_pad",))
+def device_compact_words_blocks(words: jnp.ndarray,
+                                word_offsets: jnp.ndarray,
+                                total_pad: int) -> jnp.ndarray:
+    """device_compact_words via a WINDOWED scatter: each unit's FULL
+    128-word blocks land as slice updates (provably disjoint across
+    units: block b of unit r covers [off_r + 128b, off_r + 128(b+1)) ⊂
+    [off_r, off_r + len_r)), and the <=127-word ragged tails go through
+    a small per-element scatter (~2% of the words). Bit-identical to
+    device_compact_words (tested)."""
+    R, W = words.shape
+    wl = (word_offsets[1:] - word_offsets[:-1]).astype(jnp.int32)
+    total = word_offsets[-1]
+    Wb = -(-W // _BLK) * _BLK
+    if Wb != W:
+        words = jnp.pad(words, ((0, 0), (0, Wb - W)))
+    B = Wb // _BLK
+    full = wl // _BLK                                   # (R,)
+    offs = word_offsets[:R].astype(jnp.int32)
+    starts = offs[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :] * _BLK
+    validb = jnp.arange(B, dtype=jnp.int32)[None, :] < full[:, None]
+    dump = jnp.int32(total_pad + _BLK)
+    starts = jnp.where(validb, starts, dump)
+    buf = jnp.zeros((total_pad + 2 * _BLK,), words.dtype)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    buf = jax.lax.scatter(
+        buf, starts.reshape(-1, 1),
+        words.reshape(R, B, _BLK).reshape(R * B, _BLK), dn,
+        indices_are_sorted=False, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+    # ragged tails: one 128-word slice per unit gathered from the row,
+    # then element-scattered (disjoint from every full block)
+    tail_src_start = (jnp.arange(R, dtype=jnp.int32) * Wb + full * _BLK)
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    wflat = jnp.concatenate(
+        [words.reshape(-1), jnp.zeros((_BLK,), words.dtype)])
+    tsrc = jax.lax.gather(wflat, tail_src_start[:, None], gdn,
+                          slice_sizes=(_BLK,),
+                          mode=jax.lax.GatherScatterMode.CLIP)  # (R, 128)
+    tail_len = wl - full * _BLK
+    tpos = (offs + full * _BLK)[:, None] \
+        + jnp.arange(_BLK, dtype=jnp.int32)[None, :]
+    tvalid = jnp.arange(_BLK, dtype=jnp.int32)[None, :] < tail_len[:, None]
+    buf = buf.at[jnp.where(tvalid, tpos, dump).reshape(-1)].set(
+        tsrc.reshape(-1), mode="drop", unique_indices=True)
+    j = jnp.arange(total_pad, dtype=jnp.int32)
+    return jnp.where(j < total, buf[:total_pad], 0)
 
 
 @partial(jax.jit, static_argnames=("total_pad",))

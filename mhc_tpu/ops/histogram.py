@@ -43,16 +43,10 @@ def histogram_markov(data: jnp.ndarray, n_valid: jnp.ndarray,
             'scatter' (XLA scatter-add; fast on CPU only).
     All three produce identical counts (tested)."""
     if method == "pallas":
-        # The markov Pallas histogram CRASHES the Mosaic remote compiler
-        # on the current libtpu (HTTP 500) and wedges the device relay
-        # for up to an hour. Fail fast instead of compiling it on-chip;
-        # the matmul path is the fast TPU default anyway. The kernel
-        # remains selectable on CPU (interpret/differential tests).
-        if jax.default_backend() == "tpu":
-            raise NotImplementedError(
-                "markov histogram method='pallas' is disabled on TPU: "
-                "it crashes this libtpu's Mosaic compiler (see "
-                "CLAUDE.md traps); use method='matmul'")
+        # v3 kernel (int8 one-hots in VMEM + 2D int8 MXU contraction):
+        # verified exact and ~1.25x the XLA matmul on the v5e chip
+        # (round 3). The round-2 (CHUNK,1)-block version crashed the
+        # remote Mosaic compiler — that form is gone.
         from .kernels import histogram_pallas
         return histogram_pallas.markov_hist_pallas(data, n_valid, init_ctx)
     prev, cur, valid = markov_pairs(data, n_valid, init_ctx)

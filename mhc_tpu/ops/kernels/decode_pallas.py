@@ -189,7 +189,7 @@ def _prep_fetch(ft, markov: bool, fetch_impl: str, lanes: int,
         else:
             prep["planes"] = [((ft >> (8 * k)) & 255).astype(jnp.bfloat16)
                               for k in range(4)]
-    elif fetch_impl == "mxu5":
+    elif fetch_impl in ("mxu5", "mxu6"):
         prep["iota_c"] = jax.lax.broadcasted_iota(
             jnp.int32, (256, 8, L), 0)
         # int8 planes, biased by -128 so 0..255 fits int8; the one-hot
@@ -197,6 +197,12 @@ def _prep_fetch(ft, markov: bool, fetch_impl: str, lanes: int,
         prep["planes_i8"] = jnp.concatenate(
             [(((ft >> (8 * k)) & 255) - 128).astype(jnp.int8)
              for k in range(4)], axis=1)         # (256, 4*79)
+        if fetch_impl == "mxu6":
+            # int8-domain one-hot compare: packed int8 vregs cut the
+            # 256-deep build ~4x vs int32-compare+cast (ctx 0..255 maps
+            # bijectively under the int8 wrap)
+            prep["iota_c8"] = jax.lax.broadcasted_iota(
+                jnp.int8, (256, 8, L), 0)
     # resolve iotas for the wide (vax=0) path
     NP, NS = len(_PAIR_COLS), len(_SYM_COLS)
     prep["liota"] = jax.lax.broadcasted_iota(
@@ -306,6 +312,42 @@ def _fetch_resolve_mxu4(prep, ctx, win):
     return length, s.astype(jnp.int32)
 
 
+def _fetch_resolve_mxu6(prep, ctx, win):
+    """mxu4's direct plane resolve on the v5e int8 MXU path (round 3):
+    int8-domain one-hot compare (packed vregs), int8 stacked-plane
+    matmul with exact int32 accumulation (one-hot columns have a single
+    1, so each output IS the biased plane byte), and an all-integer
+    resolve — no f32 math and no full 79-column recombine. Bit-exact vs
+    mxu2/mxu4 (single-match masked sums; byte planes 0..255)."""
+    ctx8 = jnp.broadcast_to(ctx.astype(jnp.int8)[None],
+                            prep["iota_c8"].shape)
+    oh = (ctx8 == prep["iota_c8"]).astype(jnp.int8)
+    dn = (((0,), (0,)), ((), ()))
+    x = jax.lax.dot_general(prep["planes_i8"], oh, dimension_numbers=dn,
+                            preferred_element_type=jnp.int32) + 128
+    NV = 79
+    lim = x[0:14] | (x[NV:NV + 14] << 8)           # (14, 8, L), u16
+    winw = jnp.broadcast_to(win[None], lim.shape)
+    length = 1 + jnp.sum((winw >= lim).astype(jnp.int32), axis=0)
+    bf_rows = x[2 * NV:2 * NV + 15] | (x[3 * NV:3 * NV + 15] << 8)
+    lw = jnp.broadcast_to(length[None], bf_rows.shape)
+    bf = jnp.sum(jnp.where(prep["liota"] == lw, bf_rows, 0), axis=0)
+    bf = jnp.where(bf >= 32768, bf - 65536, bf)    # sign-extend u16
+    code = win >> jnp.clip(MAX_CODE_LEN - length, 0, 31).astype(jnp.int32)
+    idx = jnp.clip(bf + code, 0, 255)
+    q = idx >> 2
+    qw = jnp.broadcast_to(q[None], prep["qiota"].shape)
+    qmask = prep["qiota"] == qw
+    sbytes = [jnp.sum(jnp.where(qmask, x[k * NV + 15:(k + 1) * NV], 0),
+                      axis=0) for k in range(4)]
+    b_pos = idx & 3                                # byte pos -> plane 3-b
+    s = sbytes[3]
+    s = jnp.where(b_pos == 1, sbytes[2], s)
+    s = jnp.where(b_pos == 2, sbytes[1], s)
+    s = jnp.where(b_pos == 3, sbytes[0], s)
+    return length, s
+
+
 def _fetch_all_slab(ft, ftsym_wide, ctx, markov: bool):
     """Slab variant: symw columns come pre-broadcast as (32, 8, 64*128)
     so the symbol loop does only gather+select per chunk (the in-kernel
@@ -404,9 +446,12 @@ def _decode_one(prep, b0, b1, b2, cnt, ctx):
         b1 = (b1 << jnp.uint32(8)) | (b2 >> jnp.uint32(24))
         b2 = b2 << jnp.uint32(8)
         return b0, b1, b2, cnt - 8, sym
-    if markov and fetch_impl == "mxu4":
+    if markov and fetch_impl in ("mxu4", "mxu6"):
         win = (b0 >> jnp.uint32(32 - MAX_CODE_LEN)).astype(jnp.int32)
-        length, sym = _fetch_resolve_mxu4(prep, ctx, win)
+        if fetch_impl == "mxu6":
+            length, sym = _fetch_resolve_mxu6(prep, ctx, win)
+        else:
+            length, sym = _fetch_resolve_mxu4(prep, ctx, win)
         ls = length.astype(jnp.uint32)
         rs = (32 - length).astype(jnp.uint32)      # length in [1,15]
         b0 = (b0 << ls) | (b1 >> rs)

@@ -118,6 +118,199 @@ def _pack_kernel(cl_ref, bw_ref, bv_ref, tail_ref, nbits_ref,
         nbits_ref[0] = tot
 
 
+# ---------------------------------------------------------------------------
+# Dense pack (round 3): in-kernel word-stream assembly.
+#
+# The bubble-stream kernel writes (word, valid) pairs to HBM and leaves
+# densification to an XLA cumsum+scatter — measured ~9 ns per round slot
+# on v5e (~0.15 s of the 32 MB encode, the single largest encode stage
+# after the lookup). This variant assembles each lane's dense word
+# stream ON CHIP with the decode kernel's group-window machinery run in
+# REVERSE: every emitted word is inserted into a 2-group VMEM lookahead
+# window at the lane's word pointer, and once per unrolled iteration the
+# window is flushed into the (W, 8, 128) output stack (two masked
+# selects per 16-word slab) and rotated when a lane crosses a group
+# boundary. Output is the dense zero-padded (R, W) word matrix — the
+# same contract as pack_blocks_pallas — with no scatter anywhere.
+
+PGRP = 16            # pack window group (words); sync period (rounds)
+PLOG2 = 4
+PWINDOW = 2 * PGRP   # per-lane window: current + next group
+
+
+def _pack_dense_kernel(cl_ref, out_ref, nbits_ref,
+                       a0s, a1s, cnts, wps, tots, wins, gbs,
+                       *, W: int, n_chunks: int,
+                       unroll: int = PACK_UNROLL,
+                       step_major: bool = False):
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _init():
+        a0s[:] = jnp.zeros((8, 128), jnp.uint32)
+        a1s[:] = jnp.zeros((8, 128), jnp.uint32)
+        cnts[:] = jnp.zeros((8, 128), jnp.int32)
+        wps[:] = jnp.zeros((8, 128), jnp.int32)
+        tots[:] = jnp.zeros((8, 128), jnp.int32)
+        wins[:] = jnp.zeros((PWINDOW, 8, 128), jnp.int32)
+        gbs[:] = jnp.zeros((8, 128), jnp.int32)
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    def _cl(j):
+        return cl_ref[j, 0] if step_major else cl_ref[0, j]
+
+    w32_iota = jax.lax.broadcasted_iota(jnp.int32, (PWINDOW, 8, 128), 0)
+
+    def _flush_rotate(win, gb, wp):
+        """Write both window halves into the output stack and advance the
+        window base to the lane's current group. Idempotent: slots past a
+        lane's wp are zeros in the window and zeros in the (zero-init)
+        output, so partial groups may be flushed many times."""
+        gbw = jnp.broadcast_to(gb[None], (PGRP, 8, 128))
+        win0 = win[:PGRP]
+        win1 = win[PGRP:]
+        for g in range(W // PGRP):
+            slab = out_ref[0, g * PGRP:(g + 1) * PGRP]
+            slab = jnp.where(gbw == g, win0, slab)
+            if g > 0:
+                slab = jnp.where(gbw == g - 1, win1, slab)
+            out_ref[0, g * PGRP:(g + 1) * PGRP] = slab
+        g0 = wp >> PLOG2
+        moved = jnp.broadcast_to((g0 > gb)[None], (PGRP, 8, 128))
+        new_win = jnp.concatenate(
+            [jnp.where(moved, win1, win0),
+             jnp.where(moved, jnp.int32(0), win1)], axis=0)
+        return new_win, g0
+
+    def body(i, carry):
+        a0, a1, cnt, wp, tot, win, gb = carry
+        # sync: a lane emits at most `unroll` <= PGRP words per
+        # iteration, so flushing+rotating once per iteration keeps every
+        # insert inside the 2-group window
+        win, gb = _flush_rotate(win, gb, wp)
+        gbase = gb << PLOG2
+        for r in range(unroll):
+            j = i * unroll + r
+            cl0 = _cl(2 * j)
+            cl1 = _cl(2 * j + 1)
+            c0 = cl0 & jnp.uint32(0xFFFF)
+            c1 = cl1 & jnp.uint32(0xFFFF)
+            l0 = (cl0 >> jnp.uint32(16)).astype(jnp.int32)
+            l1 = (cl1 >> jnp.uint32(16)).astype(jnp.int32)
+            a0, a1, cnt, word, valid = _pack_round(
+                a0, a1, cnt, (c0, c1), (l0, l1))
+            off = jnp.broadcast_to((wp - gbase)[None],
+                                   (PWINDOW, 8, 128))
+            hit = jnp.broadcast_to((valid > 0)[None], (PWINDOW, 8, 128))
+            win = jnp.where((w32_iota == off) & hit,
+                            word.astype(jnp.int32), win)
+            wp = wp + valid
+            tot = tot + l0 + l1
+        return a0, a1, cnt, wp, tot, win, gb
+
+    carry = (a0s[:], a1s[:], cnts[:], wps[:], tots[:],
+             wins[:], gbs[:])
+    rounds = cl_ref.shape[0 if step_major else 1] // 2
+    a0, a1, cnt, wp, tot, win, gb = jax.lax.fori_loop(
+        0, rounds // unroll, body, carry)
+
+    @pl.when(o == n_chunks - 1)
+    def _fin():
+        # append the MSB-aligned partial tail word (cnt <= 31 bits),
+        # then flush everything still in the window
+        off = jnp.broadcast_to((wp - (gb << PLOG2))[None],
+                               (PWINDOW, 8, 128))
+        hit = jnp.broadcast_to((cnt > 0)[None], (PWINDOW, 8, 128))
+        fwin = jnp.where((w32_iota == off) & hit,
+                         a0.astype(jnp.int32), win)
+        _flush_rotate(fwin, gb, wp)
+        nbits_ref[0] = tot
+
+    a0s[:] = a0
+    a1s[:] = a1
+    cnts[:] = cnt
+    wps[:] = wp
+    tots[:] = tot
+    wins[:] = win
+    gbs[:] = gb
+
+
+@partial(jax.jit, static_argnames=("max_len", "interpret", "step_major"))
+def pack_blocks_dense(codes: jnp.ndarray, lens: jnp.ndarray | None = None,
+                      max_len: int = MAX_CODE_LEN,
+                      interpret: bool = False,
+                      step_major: bool = False):
+    """Dense-output form of pack_blocks_pallas (bit-identical contract,
+    tested): (R, n) codes/lens or packed step-major cl -> (words (R, W)
+    u32 zero-padded, bits (R,) u32) with NO bubble stream and NO XLA
+    scatter."""
+    cl = _cl_packed(codes, lens)
+    if step_major:
+        n, R = cl.shape
+    else:
+        R, n = cl.shape
+    W_exact = words_for_block(n, max_len)
+    W = -(-W_exact // PGRP) * PGRP
+    n_tiles = (R + LANES - 1) // LANES
+    Rp = n_tiles * LANES
+    n_pad = (n + CHUNK_STEPS - 1) // CHUNK_STEPS * CHUNK_STEPS
+    if step_major:
+        if Rp != R or n_pad != n:
+            cl = jnp.pad(cl, ((0, n_pad - n), (0, Rp - R)))
+        cl4 = cl.reshape(n_pad, n_tiles, 8, 128)
+        in_spec = pl.BlockSpec((CHUNK_STEPS, 1, 8, 128),
+                               lambda t, o: (o, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        if Rp != R:
+            cl = jnp.pad(cl, ((0, Rp - R), (0, 0)))
+        if n_pad != n:
+            cl = jnp.pad(cl, ((0, 0), (0, n_pad - n)))
+        cl4 = jnp.moveaxis(cl.reshape(n_tiles, 8, 128, n_pad), 3, 1)
+        in_spec = pl.BlockSpec((1, CHUNK_STEPS, 8, 128),
+                               lambda t, o: (t, o, 0, 0),
+                               memory_space=pltpu.VMEM)
+    n_chunks = n_pad // CHUNK_STEPS
+    kernel = partial(_pack_dense_kernel, W=W, n_chunks=n_chunks,
+                     step_major=step_major)
+    out, nbits = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[in_spec],
+        out_specs=(
+            pl.BlockSpec((1, W, 8, 128), lambda t, o: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, W, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),           # a0
+            pltpu.VMEM((8, 128), jnp.uint32),           # a1
+            pltpu.VMEM((8, 128), jnp.int32),            # cnt
+            pltpu.VMEM((8, 128), jnp.int32),            # wp
+            pltpu.VMEM((8, 128), jnp.int32),            # tot
+            pltpu.VMEM((PWINDOW, 8, 128), jnp.int32),   # window
+            pltpu.VMEM((8, 128), jnp.int32),            # group base
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(3 * W * 8 * 128 * 4, 64 << 20), 120 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(Rp) * n_pad * 60,
+            bytes_accessed=int(cl4.size) * 4 + int(Rp) * W * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(cl4)
+    words = jnp.moveaxis(out, 1, 3).reshape(Rp, W).astype(jnp.uint32)
+    nbits_r = nbits.reshape(Rp).astype(jnp.uint32)
+    Wc = words_for_block(n, max_len)
+    return words[:R, :Wc], nbits_r[:R]
+
+
 def _cl_packed(codes: jnp.ndarray, lens: jnp.ndarray | None):
     """Accept either separate (codes, lens) planes or the packed
     (len<<16 | code) u32 form (lens=None) that api.lookup_cl emits."""

@@ -30,11 +30,15 @@ MCHUNK = 16384
 
 
 def _hist_kernel(prev_ref, cur_ref, out_ref):
-    # round-3 rewrite: the (CHUNK, 1)-block, axis-0-contraction version
-    # crashed the remote Mosaic compiler (HTTP 500; CLAUDE.md traps).
-    # This form uses natural (1, CHUNK) lane-major operands, sublane
-    # broadcast + iota compare for the one-hots, and a lane-axis
-    # contraction (A @ B^T) — all patterns proven in decode_pallas.
+    # round-3 rewrite (v3): the round-2 (CHUNK, 1)-block,
+    # axis-0-contraction version crashed the remote Mosaic compiler
+    # (HTTP 500; CLAUDE.md traps). This form sticks to patterns the
+    # decode kernels already prove on this toolchain: (8, K) lane-major
+    # operands, sublane broadcast + iota compare for the one-hots, a
+    # minor-axes merge reshape (decode_pallas._fetch_all), and an int8
+    # 2D matmul with int32 accumulation (decode mxu5) — one-hot
+    # products are exact in int8, and the v5e int8 MXU path runs at 2x
+    # the bf16 rate with no f32->int cast on the hot output.
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -44,15 +48,22 @@ def _hist_kernel(prev_ref, cur_ref, out_ref):
     p = prev_ref[0]                                   # (8, MCHUNK//8)
     c = cur_ref[0]
     K = MCHUNK // 8
-    iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, K), 0)
-    a = (jnp.broadcast_to(p[None], (256, 8, K)) == iota).astype(
-        jnp.bfloat16)
-    b = (jnp.broadcast_to(c[None], (256, 8, K)) == iota).astype(
-        jnp.bfloat16)
+    # v4: compare in the INT8 domain — packed int8 vregs make the
+    # 256-deep one-hot build ~4x fewer vector ops than the int32
+    # compare+cast form (the build, not the MXU contraction, is this
+    # kernel's floor). Symbols 0..255 wrap to int8 bijectively; the
+    # sentinel 256 wraps to 0, so validity comes from an explicit
+    # mask multiplied into ONE side (exactly like the XLA matmul hist).
+    iota8 = jax.lax.broadcasted_iota(jnp.int8, (256, 8, K), 0)
+    p8 = jnp.broadcast_to(p.astype(jnp.int8)[None], (256, 8, K))
+    c8 = jnp.broadcast_to(c.astype(jnp.int8)[None], (256, 8, K))
+    v8 = jnp.broadcast_to((c < 256).astype(jnp.int8)[None], (256, 8, K))
+    a = ((p8 == iota8).astype(jnp.int8) * v8).reshape(256, 8 * K)
+    b = (c8 == iota8).astype(jnp.int8).reshape(256, 8 * K)
     partial_counts = jax.lax.dot_general(
-        a, b, dimension_numbers=(((1, 2), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[:] += partial_counts.astype(jnp.int32)
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] += partial_counts
 
 
 @partial(jax.jit, static_argnames=("interpret",))

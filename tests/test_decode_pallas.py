@@ -113,7 +113,8 @@ def test_pallas_plumbing_lane_tiled_interpret(markov):
     assert (out[:R, :n] == blocks).all()
 
 
-@pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "mxu2", "slab"])
+@pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "mxu2", "mxu3",
+                                        "mxu4", "mxu5", "mxu6", "slab"])
 def test_kernel_math_fetch_impls(fetch_impl):
     """Every fetch variant decodes bit-identically (pure-jnp mirror)."""
     rng = np.random.default_rng(99)

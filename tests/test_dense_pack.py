@@ -1,0 +1,111 @@
+"""Round-3 encode-path kernels: dense pack + ragged copy variants.
+
+Differential contracts (all bit-exact, interpret mode so they run on the
+CPU mesh):
+  * pack_blocks_dense == pack_blocks_pallas (words AND bit counts) —
+    the dense kernel assembles each lane's word stream on chip with the
+    reverse group-window and must reproduce the bubble+scatter result
+    exactly, including zero padding past each stream and tail words.
+  * batched-slice / windowed-block expand+compact == the flat-gather
+    forms — these feed the engine payload layout, where any divergence
+    silently corrupts containers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mhc_tpu.ops import bitpack
+from mhc_tpu.ops.kernels import encode_pallas
+
+
+def _random_cl(rng, R, n, masked_rows=()):
+    lens = rng.integers(1, 16, size=(R, n)).astype(np.int32)
+    for r, start in masked_rows:
+        lens[r, start:] = 0
+    codes = np.zeros((R, n), np.uint32)
+    for l in range(1, 16):
+        m = lens == l
+        codes[m] = rng.integers(0, 1 << l, size=int(m.sum()))
+    return codes, lens
+
+
+@pytest.mark.parametrize("R,n,seed", [(24, 512, 1), (1024 + 9, 256, 2),
+                                      (8, 2048, 3)])
+def test_dense_pack_matches_bubble(R, n, seed):
+    rng = np.random.default_rng(seed)
+    codes, lens = _random_cl(rng, R, n, masked_rows=[(2, n // 4), (5, 0)])
+    w1, b1 = encode_pallas.pack_blocks_pallas(
+        jnp.asarray(codes), jnp.asarray(lens), interpret=True)
+    w2, b2 = encode_pallas.pack_blocks_dense(
+        jnp.asarray(codes), jnp.asarray(lens), interpret=True)
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_dense_pack_step_major():
+    rng = np.random.default_rng(7)
+    R, n = 40, 512
+    codes, lens = _random_cl(rng, R, n)
+    cl_t = ((lens.astype(np.uint32) << 16) | codes).T.copy()
+    w1, b1 = encode_pallas.pack_blocks_pallas(
+        jnp.asarray(codes), jnp.asarray(lens), interpret=True)
+    w2, b2 = encode_pallas.pack_blocks_dense(
+        jnp.asarray(cl_t), None, step_major=True, interpret=True)
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def _ragged_words(rng, R, W):
+    wl = rng.integers(0, W + 1, size=R).astype(np.int32)
+    words = np.zeros((R, W), np.uint32)
+    for r in range(R):
+        words[r, :wl[r]] = rng.integers(0, 1 << 32, size=wl[r],
+                                        dtype=np.uint32)
+    offs = np.zeros(R + 1, np.int32)
+    np.cumsum(wl, out=offs[1:])
+    return words, wl, offs
+
+
+@pytest.mark.parametrize("R,W,seed", [(70, 96, 2), (33, 300, 4)])
+def test_copy_variants_bit_identical(R, W, seed):
+    rng = np.random.default_rng(seed)
+    words, wl, offs = _ragged_words(rng, R, W)
+    total = int(offs[-1])
+    tp = max(-(-total // 256) * 256, 256)
+    ref = np.asarray(bitpack.device_compact_words(
+        jnp.asarray(words), jnp.asarray(offs), tp))
+    for fn in (bitpack.device_compact_words_slices,
+               bitpack.device_compact_words_blocks):
+        out = np.asarray(fn(jnp.asarray(words), jnp.asarray(offs), tp))
+        assert np.array_equal(ref, out), fn.__name__
+    eref = np.asarray(bitpack.device_expand_words_u32(
+        jnp.asarray(ref), jnp.asarray(offs), jnp.asarray(wl), W))
+    for fn in (bitpack.device_expand_words_slices,
+               bitpack.device_expand_words_blocks):
+        out = np.asarray(fn(jnp.asarray(ref), jnp.asarray(offs),
+                            jnp.asarray(wl), W))
+        assert np.array_equal(eref, out), fn.__name__
+
+
+def test_copy_dma_interpret():
+    """The Mosaic DMA forms run only in interpret mode off-TPU; their
+    on-chip compile is gated by the tpu-marked suite."""
+    from mhc_tpu.ops.kernels import copy_pallas
+    rng = np.random.default_rng(6)
+    words, wl, offs = _ragged_words(rng, 70, 128)
+    total = int(offs[-1])
+    tp = max(-(-total // 256) * 256, 256)
+    ref = np.asarray(bitpack.device_compact_words(
+        jnp.asarray(words), jnp.asarray(offs), tp))
+    out = np.asarray(copy_pallas.device_compact_words_dma(
+        jnp.asarray(words), jnp.asarray(offs), tp, interpret=True))
+    assert np.array_equal(ref, out)
+    eref = np.asarray(bitpack.device_expand_words_u32(
+        jnp.asarray(ref), jnp.asarray(offs), jnp.asarray(wl), 128))
+    out2 = np.asarray(copy_pallas.device_expand_words_dma(
+        jnp.asarray(ref), jnp.asarray(offs), jnp.asarray(wl), 128,
+        interpret=True))
+    assert np.array_equal(eref, out2)

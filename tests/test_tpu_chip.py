@@ -69,7 +69,8 @@ def test_decode_pallas_fetch_impls(corpus16):
     from mhc_tpu import api
     data = corpus16[: 8 << 20]
     blob = api.compress(data, mode="markov")
-    for impl in ("chunk", "mxu", "mxu2", "mxu3", "mxu4", "mxu5", "sparse", "slab"):
+    for impl in ("chunk", "mxu", "mxu2", "mxu3", "mxu4", "mxu5", "mxu6",
+                 "sparse", "slab"):
         os.environ["MHC_FETCH_IMPL"] = impl
         try:
             assert api.decompress(blob) == data, impl
@@ -142,3 +143,26 @@ def test_sharded_pipeline_on_chip(corpus16):
     out_pallas = pipeline.decompress_sharded(blob, m,
                                              decode_method="pallas")
     assert out_pallas == data
+
+
+def test_round3_encode_paths_bit_identical(corpus16):
+    """Round-3 encode defaults (dense pack kernel, pallas int8 hist,
+    batched-slice compact/expand) produce containers byte-identical to
+    the round-2 paths on the real chip."""
+    from mhc_tpu import api
+    data = corpus16[: 8 << 20]
+    overrides = {"MHC_PACK_METHOD": "pallas", "MHC_HIST_METHOD": "matmul",
+                 "MHC_COMPACT_IMPL": "gather", "MHC_EXPAND_IMPL": "gather"}
+    old = {k: os.environ.pop(k, None) for k in overrides}
+    try:
+        blob_default = api.compress(data, mode="markov")
+        os.environ.update(overrides)
+        blob_legacy = api.compress(data, mode="markov")
+        assert blob_default == blob_legacy
+        assert api.decompress(blob_legacy) == data
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None)
+            if v is not None:
+                os.environ[k] = v
+    assert api.decompress(blob_default) == data
