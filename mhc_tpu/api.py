@@ -121,6 +121,17 @@ def lookup_cl_t(units, n_valid, tables):
     return jnp.where(valid, cl, jnp.uint32(0))
 
 
+def lookup_cl_t_auto(units, n_valid, tables):
+    """lookup_cl_t with MHC_LOOKUP resolution: 'pallas' selects the
+    VMEM-resident int8 MXU row-fetch kernel (TPU), everything else the
+    XLA forms inside lookup_cl_t. Bit-identical outputs (tested)."""
+    if _cfg.lookup_method() == "pallas" \
+            and jax.default_backend() == "tpu":
+        from .ops.kernels import lookup_pallas
+        return lookup_pallas.lookup_cl_t_pallas(units, n_valid, tables)
+    return lookup_cl_t(units, n_valid, tables)
+
+
 def resolve_decode_unit(block_size: int, decode_unit: int | None,
                         markov: bool = True) -> int:
     """Clamp the decode unit to the block size; units must divide blocks."""
@@ -254,9 +265,19 @@ def compress(data: bytes, mode: str = "markov",
             devs.append((jnp.asarray(u), jnp.asarray(nv)))
     with ph("tables", orig_len):
         counts = None
-        for ud, nvd in devs:
-            c = model.histogram(ud, nvd, method=hist_method)
-            counts = c if counts is None else counts + c
+        try:
+            for ud, nvd in devs:
+                c = model.histogram(ud, nvd, method=hist_method)
+                counts = c if counts is None else counts + c
+        except Exception:
+            if hist_method == "matmul":
+                raise
+            # Mosaic hist failed to compile — identical counts via the
+            # XLA matmul (tested); don't fail the encode
+            counts = None
+            for ud, nvd in devs:
+                c = model.histogram(ud, nvd, method="matmul")
+                counts = c if counts is None else counts + c
         counts.copy_to_host_async()   # avoid the slow cold-fetch path
         lengths = model.lengths_from_counts(np.asarray(counts))
         tables = model.tables_from_lengths(lengths)
@@ -270,7 +291,7 @@ def compress(data: bytes, mode: str = "markov",
                       if pack_method == "dense"
                       else encode_pallas.pack_blocks_pallas)
                 words, bits = pk(
-                    lookup_cl_t(ud, nvd, tables), step_major=True)
+                    lookup_cl_t_auto(ud, nvd, tables), step_major=True)
             else:
                 encode = (bitpack.encode_blocks_merge
                           if pack_method == "merge"

@@ -59,8 +59,9 @@ def pack_method() -> str:
 
 
 def lookup_method() -> str:
-    # gather beats the MXU bilinear 2.3x with honest (sync-forced)
-    # timing — bench/encode_micro.py round 3
+    # gather beats the XLA MXU bilinear 2.3x with honest (sync-forced)
+    # timing — bench/encode_micro.py round 3. "pallas" selects the
+    # VMEM-resident int8 MXU row-fetch kernel (lookup_pallas.py).
     return os.environ.get("MHC_LOOKUP") or "gather"
 
 

@@ -1,0 +1,139 @@
+"""Pallas TPU bulk (prev, cur) -> (len<<16 | code) lookup kernel.
+
+Capability parity: reference emit pass draws `table[prev].code[cur]`
+per symbol (SURVEY.md §3.1 HOT LOOP 2; mount empty, §0). The XLA flat
+gather over the 64K-entry packed table prices at ~6.6 ns/symbol on v5e
+(~0.22 s of the 32 MB encode — the largest single encode stage after
+round 3 removed the scatter). This kernel keeps the table VMEM-resident
+and fetches whole context rows on the int8 MXU instead:
+
+  * the (256, 256) u32 cl table is split into THREE byte planes
+    (code_lo, code_hi, len) and stacked as one (256, 768) int8 operand
+    (bias -128; one-hot products are exact in int8),
+  * per (8, 128) vreg-group of symbols, one int8-domain one-hot over
+    `prev` (packed int8 vregs — the 256-deep build is the floor, same
+    finding as the v4 histogram kernel) and ONE MXU contraction fetch
+    all three plane rows,
+  * `cur` is resolved with three 256-deep masked sums sharing a single
+    compare mask.
+
+Unlike decode, there is no serial dependency across lanes — the prev
+chain is just the shifted symbol stream — so the kernel streams
+step-major symbol blocks exactly like the pack kernel and carries only
+a per-lane ctx register across grid chunks (context resets per unit are
+free: each lane IS one unit).
+
+Output is bit-identical to api.lookup_cl_t (tested): step-major
+(n, R) packed (len<<16 | code), zero at masked positions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 1024
+CHUNK_STEPS = 256
+UNROLL = 4
+
+
+def build_cl_planes(tables) -> jnp.ndarray:
+    """(256, 256) codes/lengths -> (256, 768) biased int8 plane stack."""
+    codes = jnp.asarray(tables["codes"], jnp.int32)
+    lens = jnp.asarray(tables["lengths"], jnp.int32)
+    cl = (lens << 16) | codes
+    return jnp.concatenate(
+        [((cl >> (8 * k)) & 255) - 128 for k in range(3)],
+        axis=1).astype(jnp.int8)
+
+
+def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
+                   *, n_chunks: int, unroll: int = UNROLL):
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _init():
+        ctxs[:] = jnp.zeros((8, 128), jnp.int32)
+
+    ft = ft_ref[:]                                    # (256, 768) int8
+    nv = nv_ref[0]                                    # (8, 128) int32
+    iota8 = jax.lax.broadcasted_iota(jnp.int8, (256, 8, 128), 0)
+    iota_sel = jax.lax.broadcasted_iota(jnp.int8, (256, 8, 128), 0)
+    dn = (((0,), (0,)), ((), ()))
+
+    def body(i, ctx):
+        for r in range(unroll):
+            j = i * unroll + r
+            cur = sym_ref[j, 0]                       # (8, 128) int32
+            ctx8 = jnp.broadcast_to(ctx.astype(jnp.int8)[None],
+                                    (256, 8, 128))
+            oh = (ctx8 == iota8).astype(jnp.int8)
+            x = jax.lax.dot_general(
+                ft, oh, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)     # (768, 8, 128)
+            cur8 = jnp.broadcast_to(cur.astype(jnp.int8)[None],
+                                    (256, 8, 128))
+            sel = cur8 == iota_sel
+            y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + 128
+            y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + 128
+            y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + 128
+            cl = y0 | (y1 << 8) | (y2 << 16)
+            jg = o * CHUNK_STEPS + j
+            out_ref[j, 0] = jnp.where(jg < nv, cl, 0)
+            ctx = cur
+        return ctx
+
+    ctx = jax.lax.fori_loop(0, CHUNK_STEPS // unroll, body, ctxs[:])
+    ctxs[:] = ctx
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lookup_cl_t_pallas(units: jnp.ndarray, n_valid: jnp.ndarray,
+                       tables, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for api.lookup_cl_t: (B, n) u8 units -> step-major
+    (n, B) packed (len<<16 | code) u32, zeros at masked positions."""
+    ut = units.astype(jnp.int32).T                    # (n, B)
+    n, B = ut.shape
+    n_tiles = (B + LANES - 1) // LANES
+    Rp = n_tiles * LANES
+    n_pad = -(-n // CHUNK_STEPS) * CHUNK_STEPS
+    if n_pad != n or Rp != B:
+        ut = jnp.pad(ut, ((0, n_pad - n), (0, Rp - B)))
+    nv = n_valid.astype(jnp.int32)
+    if Rp != B:
+        nv = jnp.concatenate([nv, jnp.zeros((Rp - B,), jnp.int32)])
+    sym4 = ut.reshape(n_pad, n_tiles, 8, 128)
+    nv4 = nv.reshape(n_tiles, 8, 128)
+    ft = build_cl_planes(tables)
+    n_chunks = n_pad // CHUNK_STEPS
+    out = pl.pallas_call(
+        partial(_lookup_kernel, n_chunks=n_chunks),
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((256, 768), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_STEPS, 1, 8, 128),
+                         lambda t, o: (o, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK_STEPS, 1, 8, 128),
+                               lambda t, o: (o, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_tiles, 8, 128),
+                                       jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(Rp) * n_pad * 768 * 256,
+            bytes_accessed=int(Rp) * n_pad * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(ft, nv4, sym4)
+    return out.reshape(n_pad, Rp)[:n, :B].astype(jnp.uint32)

@@ -109,3 +109,29 @@ def test_copy_dma_interpret():
         jnp.asarray(ref), jnp.asarray(offs), jnp.asarray(wl), 128,
         interpret=True))
     assert np.array_equal(eref, out2)
+
+
+def test_lookup_pallas_matches_gather():
+    """The VMEM int8-MXU lookup kernel is bit-identical to the XLA
+    flat-gather lookup_cl_t on a table with every code length in play."""
+    from mhc_tpu import api
+    from mhc_tpu.models.entropy import get_model
+    from mhc_tpu.ops.kernels import lookup_pallas
+
+    rng = np.random.default_rng(11)
+    B, n = 40, 512
+    units = rng.integers(0, 256, (B, n), dtype=np.uint8)
+    units[units < 180] %= 31
+    nv = rng.integers(1, n + 1, B).astype(np.int32)
+    nv[0] = n
+    model = get_model("markov")
+    counts = model.histogram(jnp.asarray(units), jnp.asarray(nv),
+                             method="scatter")
+    lengths = model.lengths_from_counts(
+        np.asarray(counts).astype(np.int64))
+    tables = model.tables_from_lengths(lengths)
+    ref = np.asarray(api.lookup_cl_t(jnp.asarray(units),
+                                     jnp.asarray(nv), tables))
+    out = np.asarray(lookup_pallas.lookup_cl_t_pallas(
+        jnp.asarray(units), jnp.asarray(nv), tables, interpret=True))
+    assert np.array_equal(ref, out)
