@@ -81,11 +81,8 @@ def main() -> int:
         return out
 
     stage("hist_" + hist_method, lambda: run_hist(hist_method))
-    # The Pallas markov histogram currently CRASHES the Mosaic remote
-    # compiler on this libtpu (HTTP 500), which wedges the relay for up
-    # to an hour — only attempt it when explicitly asked.
-    if os.environ.get("MHC_STAGES_PALLAS_HIST"):
-        stage("hist_pallas", lambda: run_hist("pallas"))
+    if jax.default_backend() == "tpu" and hist_method != "matmul":
+        stage("hist_matmul", lambda: run_hist("matmul"))
 
     counts = np.asarray(run_hist(hist_method)).astype(np.int64)
 
@@ -103,15 +100,25 @@ def main() -> int:
                 for ud, nvd in zip(st.units, st.n_valid)]
 
     stage("lookup_codes", run_lookup)
+    stage("lookup_cl_t_gather", lambda: [
+        api.lookup_cl_t(ud, nvd, tables)
+        for ud, nvd in zip(st.units, st.n_valid)])
+    if jax.default_backend() == "tpu":
+        from mhc_tpu.ops.kernels import lookup_pallas
+        stage("lookup_cl_t_pallas", lambda: [
+            lookup_pallas.lookup_cl_t_pallas(ud, nvd, tables)
+            for ud, nvd in zip(st.units, st.n_valid)])
 
     def run_pack(method):
         outs = []
         for ud, nvd in zip(st.units, st.n_valid):
-            if method == "pallas":
+            if method in ("pallas", "dense"):
                 from mhc_tpu.ops.kernels import encode_pallas
-                codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
-                outs.append(encode_pallas.pack_blocks_pallas(
-                    codes_l, lens_l))
+                cl = api.lookup_cl_t(ud, nvd, tables)
+                pk = (encode_pallas.pack_blocks_dense
+                      if method == "dense"
+                      else encode_pallas.pack_blocks_pallas)
+                outs.append(pk(cl, step_major=True))
             else:
                 enc = (bitpack.encode_blocks_merge if method == "merge"
                        else bitpack.encode_blocks)
@@ -121,8 +128,8 @@ def main() -> int:
 
     stage("pack_merge(incl lookup)", lambda: run_pack("merge"))
     if jax.default_backend() == "tpu":
+        stage("pack_dense(incl lookup)", lambda: run_pack("dense"))
         stage("pack_pallas(incl lookup)", lambda: run_pack("pallas"))
-        stage("pack_scatter(incl lookup)", lambda: run_pack("scatter"))
 
     packed = run_pack(api._default_pack_method())
     jax.block_until_ready([p[0] for p in packed])
@@ -135,7 +142,7 @@ def main() -> int:
             offsets = np.zeros(len(word_lens) + 1, np.int32)
             np.cumsum(word_lens, out=offsets[1:])
             pad_w = max(-(-int(offsets[-1]) // (1 << 18)) << 18, 1 << 18)
-            outs.append(bitpack.device_compact_words(
+            outs.append(api._compact_words(
                 words, jnp.asarray(offsets), pad_w))
         return outs
 
@@ -159,7 +166,7 @@ def main() -> int:
                 (enc.byte_lens[lo:hi] // 4).astype(np.int32), C)
             offsets = np.zeros(C + 1, np.int32)
             np.cumsum(wl, out=offsets[1:])
-            outs.append(bitpack.device_expand_words_u32(
+            outs.append(api._expand_words_u32(
                 payload_d, jnp.asarray(offsets), jnp.asarray(wl), W))
         return outs
 
@@ -185,9 +192,9 @@ def main() -> int:
         return outs
 
     if jax.default_backend() == "tpu":
-        stage("decode_pallas_mxu2", lambda: run_decode("pallas", "mxu2"))
         stage("decode_pallas_mxu4", lambda: run_decode("pallas", "mxu4"))
-        stage("decode_pallas_chunk", lambda: run_decode("pallas", "chunk"))
+        stage("decode_pallas_mxu6", lambda: run_decode("pallas", "mxu6"))
+        stage("decode_pallas_mxu2", lambda: run_decode("pallas", "mxu2"))
     stage("decode_scan", lambda: run_decode("scan"))
 
     stage("DECODE_total", lambda: engine.decode(enc))

@@ -166,3 +166,26 @@ def test_round3_encode_paths_bit_identical(corpus16):
             if v is not None:
                 os.environ[k] = v
     assert api.decompress(blob_default) == data
+
+
+def test_order0_defaults_select_pallas_decode(corpus16):
+    """Order-0 at the DEFAULT decode unit must take the Mosaic decode
+    kernel on compressible data (round-2 review: the order-0 default
+    always fell back to the XLA scan). Asserts the container's actual
+    stream width fits the kernel's VMEM budget, then roundtrips with
+    the kernel explicitly forced."""
+    from mhc_tpu import api, container
+    from mhc_tpu.ops import bitpack
+    from mhc_tpu.ops.kernels import decode_pallas
+    data = corpus16[: 8 << 20]
+    blob = api.compress(data, mode="huffman")
+    meta = container.parse_container(blob)
+    du = meta.decode_unit or meta.block_size
+    bl = meta.byte_lengths.astype(np.int64)
+    W = min(bitpack.words_for_block(du),
+            max(-(-(-(-int(bl.max()) // 4) + 1) // 128) * 128, 128))
+    n_tiles = -(-api._chunk_units(du) // decode_pallas.LANES)
+    est = decode_pallas.vmem_bytes(W, fetch_impl="mxu4",
+                                   n_tiles=n_tiles, n_out=du)
+    assert est <= decode_pallas.VMEM_BUDGET, (W, est)
+    assert api.decompress(blob, decode_method="pallas") == data
