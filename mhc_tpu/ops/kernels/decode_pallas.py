@@ -197,12 +197,6 @@ def _prep_fetch(ft, markov: bool, fetch_impl: str, lanes: int,
         prep["planes_i8"] = jnp.concatenate(
             [(((ft >> (8 * k)) & 255) - 128).astype(jnp.int8)
              for k in range(4)], axis=1)         # (256, 4*79)
-        if fetch_impl == "mxu6":
-            # int8-domain one-hot compare: packed int8 vregs cut the
-            # 256-deep build ~4x vs int32-compare+cast (ctx 0..255 maps
-            # bijectively under the int8 wrap)
-            prep["iota_c8"] = jax.lax.broadcasted_iota(
-                jnp.int8, (256, 8, L), 0)
     # resolve iotas for the wide (vax=0) path
     NP, NS = len(_PAIR_COLS), len(_SYM_COLS)
     prep["liota"] = jax.lax.broadcasted_iota(
@@ -319,9 +313,9 @@ def _fetch_resolve_mxu6(prep, ctx, win):
     1, so each output IS the biased plane byte), and an all-integer
     resolve — no f32 math and no full 79-column recombine. Bit-exact vs
     mxu2/mxu4 (single-match masked sums; byte planes 0..255)."""
-    ctx8 = jnp.broadcast_to(ctx.astype(jnp.int8)[None],
-                            prep["iota_c8"].shape)
-    oh = (ctx8 == prep["iota_c8"]).astype(jnp.int8)
+    # int32 compare + int8 cast (the proven mxu5 one-hot form — this
+    # Mosaic target supports neither int8 iota nor sub-32-bit compares)
+    oh = (ctx[None, :, :] == prep["iota_c"]).astype(jnp.int8)
     dn = (((0,), (0,)), ((), ()))
     x = jax.lax.dot_general(prep["planes_i8"], oh, dimension_numbers=dn,
                             preferred_element_type=jnp.int32) + 128

@@ -48,18 +48,16 @@ def _hist_kernel(prev_ref, cur_ref, out_ref):
     p = prev_ref[0]                                   # (8, MCHUNK//8)
     c = cur_ref[0]
     K = MCHUNK // 8
-    # v4: compare in the INT8 domain — packed int8 vregs make the
-    # 256-deep one-hot build ~4x fewer vector ops than the int32
-    # compare+cast form (the build, not the MXU contraction, is this
-    # kernel's floor). Symbols 0..255 wrap to int8 bijectively; the
-    # sentinel 256 wraps to 0, so validity comes from an explicit
-    # mask multiplied into ONE side (exactly like the XLA matmul hist).
-    iota8 = jax.lax.broadcasted_iota(jnp.int8, (256, 8, K), 0)
-    p8 = jnp.broadcast_to(p.astype(jnp.int8)[None], (256, 8, K))
-    c8 = jnp.broadcast_to(c.astype(jnp.int8)[None], (256, 8, K))
-    v8 = jnp.broadcast_to((c < 256).astype(jnp.int8)[None], (256, 8, K))
-    a = ((p8 == iota8).astype(jnp.int8) * v8).reshape(256, 8 * K)
-    b = (c8 == iota8).astype(jnp.int8).reshape(256, 8 * K)
+    # One-hot build stays in the INT32 domain: this Mosaic target
+    # implements neither int8 iota nor sub-32-bit comparisons (both
+    # probed on-chip: "Only 16- and 32-bit Iota supported", "Target
+    # does not support this comparison"), so the 256-deep compare+cast
+    # is the kernel's floor.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, K), 0)
+    a = (jnp.broadcast_to(p[None], (256, 8, K)) == iota).astype(
+        jnp.int8).reshape(256, 8 * K)
+    b = (jnp.broadcast_to(c[None], (256, 8, K)) == iota).astype(
+        jnp.int8).reshape(256, 8 * K)
     partial_counts = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)

@@ -61,23 +61,22 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
 
     ft = ft_ref[:]                                    # (256, 768) int8
     nv = nv_ref[0]                                    # (8, 128) int32
-    iota8 = jax.lax.broadcasted_iota(jnp.int8, (256, 8, 128), 0)
-    iota_sel = jax.lax.broadcasted_iota(jnp.int8, (256, 8, 128), 0)
+    # int32 iota/compare only: this Mosaic target supports neither
+    # int8 iota nor sub-32-bit comparisons (probed on-chip)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
     dn = (((0,), (0,)), ((), ()))
 
     def body(i, ctx):
         for r in range(unroll):
             j = i * unroll + r
             cur = sym_ref[j, 0]                       # (8, 128) int32
-            ctx8 = jnp.broadcast_to(ctx.astype(jnp.int8)[None],
-                                    (256, 8, 128))
-            oh = (ctx8 == iota8).astype(jnp.int8)
+            ctxw = jnp.broadcast_to(ctx[None], (256, 8, 128))
+            oh = (ctxw == iota).astype(jnp.int8)
             x = jax.lax.dot_general(
                 ft, oh, dimension_numbers=dn,
                 preferred_element_type=jnp.int32)     # (768, 8, 128)
-            cur8 = jnp.broadcast_to(cur.astype(jnp.int8)[None],
-                                    (256, 8, 128))
-            sel = cur8 == iota_sel
+            curw = jnp.broadcast_to(cur[None], (256, 8, 128))
+            sel = curw == iota
             y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + 128
             y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + 128
             y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + 128
