@@ -149,6 +149,40 @@ def resolve_decode_unit(block_size: int, decode_unit: int | None,
     return du
 
 
+def _is_kernel_compile_error(e: Exception) -> bool:
+    """True when `e` looks like a Mosaic/XLA kernel COMPILE failure —
+    the only error class the matmul-histogram fallback may swallow
+    (ADVICE r3: a bare `except Exception` also hid shape bugs, OOMs and
+    relay failures behind a silent recompute)."""
+    msg = f"{type(e).__name__}: {e}"
+    needles = ("Mosaic", "mosaic", "compil", "RESOURCE_EXHAUSTED",
+               "vmem", "VMEM", "Internal TPU kernel")
+    return any(n in msg for n in needles)
+
+
+def _hist_with_fallback(model, devs, hist_method: str):
+    """Accumulate the histogram over (units, n_valid) device chunks with
+    the guarded Mosaic->matmul fallback shared by api and engine."""
+    counts = None
+    try:
+        for ud, nvd in devs:
+            c = model.histogram(ud, nvd, method=hist_method)
+            counts = c if counts is None else counts + c
+    except Exception as e:
+        if hist_method == "matmul" or not _is_kernel_compile_error(e):
+            raise
+        import warnings
+        warnings.warn(
+            f"mhc: histogram method '{hist_method}' failed to compile "
+            f"({type(e).__name__}); falling back to identical-counts "
+            "XLA matmul", RuntimeWarning, stacklevel=2)
+        counts = None
+        for ud, nvd in devs:
+            c = model.histogram(ud, nvd, method="matmul")
+            counts = c if counts is None else counts + c
+    return counts
+
+
 def _tracer():
     if os.environ.get("MHC_TRACE"):
         from .utils.metrics import Trace
@@ -264,20 +298,7 @@ def compress(data: bytes, mode: str = "markov",
             nv = _pad_rows(n_valid[lo:lo + C], C)
             devs.append((jnp.asarray(u), jnp.asarray(nv)))
     with ph("tables", orig_len):
-        counts = None
-        try:
-            for ud, nvd in devs:
-                c = model.histogram(ud, nvd, method=hist_method)
-                counts = c if counts is None else counts + c
-        except Exception:
-            if hist_method == "matmul":
-                raise
-            # Mosaic hist failed to compile — identical counts via the
-            # XLA matmul (tested); don't fail the encode
-            counts = None
-            for ud, nvd in devs:
-                c = model.histogram(ud, nvd, method="matmul")
-                counts = c if counts is None else counts + c
+        counts = _hist_with_fallback(model, devs, hist_method)
         counts.copy_to_host_async()   # avoid the slow cold-fetch path
         lengths = model.lengths_from_counts(np.asarray(counts))
         tables = model.tables_from_lengths(lengths)

@@ -13,7 +13,8 @@ Knob catalog (see CLAUDE.md):
   MHC_FETCH_IMPL     chunk | mxu | mxu2..mxu6 | sparse | slab
   MHC_REFILL         group | scan      (Pallas decode word refill)
   MHC_PACK_METHOD    dense | pallas | merge | scatter
-  MHC_LOOKUP         mxu | gather
+  MHC_LOOKUP         gather | mxu | pallas  (pallas = VMEM int8 MXU
+                     row-fetch kernel, ops/kernels/lookup_pallas.py)
   MHC_HIST_METHOD    pallas | matmul | scatter
   MHC_EXPAND_IMPL    slices | gather | blocks
   MHC_LANE_TILES     int cap on decode lane tiling (1/2/4)

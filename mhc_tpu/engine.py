@@ -86,21 +86,10 @@ def histogram(st: Staged, hist_method: str | None = None) -> np.ndarray:
     """Device histogram over the staged units, fetched to host (int64)."""
     model = get_model(st.mode)
     hist_method = hist_method or api._default_hist_method()
-    counts = None
-    try:
-        for ud, nvd in zip(st.units, st.n_valid):
-            c = model.histogram(ud, nvd, method=hist_method)
-            counts = c if counts is None else counts + c
-    except Exception:
-        if hist_method == "matmul":
-            raise
-        # Mosaic kernel failed to compile on this toolchain — the XLA
-        # matmul histogram produces identical counts (tested), so fall
-        # back rather than failing the whole encode
-        counts = None
-        for ud, nvd in zip(st.units, st.n_valid):
-            c = model.histogram(ud, nvd, method="matmul")
-            counts = c if counts is None else counts + c
+    # guarded Mosaic->matmul compile-failure fallback shared with
+    # api.compress (ADVICE r3: the bare Exception catch hid real errors)
+    counts = api._hist_with_fallback(
+        model, zip(st.units, st.n_valid), hist_method)
     return np.asarray(counts).astype(np.int64)
 
 

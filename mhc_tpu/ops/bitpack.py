@@ -524,7 +524,11 @@ def device_compact_words_blocks(words: jnp.ndarray,
     offs = word_offsets[:R].astype(jnp.int32)
     starts = offs[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :] * _BLK
     validb = jnp.arange(B, dtype=jnp.int32)[None, :] < full[:, None]
-    dump = jnp.int32(total_pad + _BLK)
+    # dump PAST the buffer end so FILL_OR_DROP / mode='drop' actually
+    # discards invalid blocks/elements — every invalid row maps to the
+    # same index, so an in-bounds dump would violate unique_indices=True
+    # (XLA declares duplicate indices UB under that flag; ADVICE r3)
+    dump = jnp.int32(total_pad + 2 * _BLK)
     starts = jnp.where(validb, starts, dump)
     buf = jnp.zeros((total_pad + 2 * _BLK,), words.dtype)
     dn = jax.lax.ScatterDimensionNumbers(

@@ -244,6 +244,15 @@ def pack_blocks_dense(codes: jnp.ndarray, lens: jnp.ndarray | None = None,
     tested): (R, n) codes/lens or packed step-major cl -> (words (R, W)
     u32 zero-padded, bits (R,) u32) with NO bubble stream and NO XLA
     scatter."""
+    # Constant-drift guards (ADVICE r3): the kernel's window-capacity
+    # argument needs <= PGRP emitted words per sync (one sync per
+    # unrolled iteration; one word per round), and the fori_loop's
+    # floor-divided trip count silently DROPS tail rounds unless the
+    # unroll divides the rounds-per-chunk.
+    assert PACK_UNROLL <= PGRP, \
+        f"PACK_UNROLL={PACK_UNROLL} > PGRP={PGRP}: window can overflow"
+    assert (CHUNK_STEPS // 2) % PACK_UNROLL == 0, \
+        f"PACK_UNROLL={PACK_UNROLL} must divide {CHUNK_STEPS // 2} rounds"
     cl = _cl_packed(codes, lens)
     if step_major:
         n, R = cl.shape

@@ -304,6 +304,10 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None,
         chunks.append(shard_blocks(units[lo:hi], n_valid[lo:hi], mesh))
 
     from ..api import _default_hist_method
+    # No Mosaic->matmul compile-failure fallback here (unlike
+    # api/engine): the histogram runs INSIDE one jitted shard_map step,
+    # so a kernel compile failure surfaces as a clean trace-time error —
+    # swap MHC_HIST_METHOD rather than silently diverging per shard.
     counts = None
     for blocks_d, nv_d, _ in chunks:
         c = _hist_sharded(blocks_d, nv_d, markov=model.markov, mesh=mesh,

@@ -118,16 +118,43 @@ def test_order0_selects_pallas_decode(corpus16):
     assert engine.fetch_bytes(enc, outs) == data
 
 
-def test_markov_pallas_hist_guard():
-    """method='pallas' markov histogram must raise cleanly on TPU (the
-    kernel crashes this libtpu's Mosaic compiler and wedges the relay)
-    — guarded in ops/histogram.py unless explicitly re-enabled."""
+def test_markov_pallas_hist_exact(corpus16):
+    """The Pallas markov histogram (the TPU default since round 3) must
+    produce counts IDENTICAL to the XLA matmul on the real chip (the
+    round-2 kernel crashed this Mosaic; the v3 kernel compiles — this is
+    the on-chip exactness gate replacing the old NotImplementedError
+    guard)."""
     import jax.numpy as jnp
+    from mhc_tpu import api
     from mhc_tpu.ops import histogram
-    with pytest.raises(NotImplementedError):
-        histogram.histogram_markov(
-            jnp.zeros((2, 128), jnp.uint8), jnp.full((2,), 128, jnp.int32),
-            method="pallas")
+    units, n_valid = api.blockify(corpus16[: 4 << 20], 8192)
+    ud, nvd = jnp.asarray(units), jnp.asarray(n_valid)
+    ref = np.asarray(histogram.histogram_markov(ud, nvd, method="matmul"))
+    got = np.asarray(histogram.histogram_markov(ud, nvd, method="pallas"))
+    assert (ref == got).all()
+    assert int(ref.sum()) == 4 << 20
+
+
+def test_lookup_pallas_bit_exact(corpus16):
+    """MHC_LOOKUP=pallas (VMEM int8 MXU row-fetch) must compile on the
+    real chip at the shipped chunk shape and return the packed cl plane
+    bit-identical to the XLA gather (VERDICT r3: the kernel had no
+    on-chip gate before becoming a default candidate)."""
+    import jax.numpy as jnp
+    from mhc_tpu import api
+    from mhc_tpu.models.entropy import get_model
+    from mhc_tpu.ops.kernels import lookup_pallas
+    data = corpus16[: 8 << 20]
+    model = get_model("markov")
+    du = api.resolve_decode_unit(api.DEFAULT_BLOCK_SIZE, None, True)
+    units, n_valid = api.blockify(data, du)
+    ud, nvd = jnp.asarray(units), jnp.asarray(n_valid)
+    counts = model.histogram(ud, nvd, method="matmul")
+    lengths = model.lengths_from_counts(np.asarray(counts))
+    tables = model.tables_from_lengths(lengths)
+    ref = np.asarray(api.lookup_cl_t(ud, nvd, tables))
+    got = np.asarray(lookup_pallas.lookup_cl_t_pallas(ud, nvd, tables))
+    assert (ref == got).all()
 
 
 def test_sharded_pipeline_on_chip(corpus16):
