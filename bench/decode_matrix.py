@@ -125,6 +125,16 @@ def main() -> int:
           refill="group", raw_out=True)
     timed("mxu5_group_raw_u16", markov=True, fetch_impl="mxu5",
           refill="group", raw_out=True, unroll=16)
+    timed("mxu6_group_raw", markov=True, fetch_impl="mxu6",
+          refill="group", raw_out=True)
+    timed("mxu4_chains2_raw", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, chains=2)
+    timed("mxu6_chains2_raw", markov=True, fetch_impl="mxu6",
+          refill="group", raw_out=True, chains=2)
+    timed("mxu4_chains4_raw", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, chains=4)
+    timed("mxu6_chains2_full", markov=True, fetch_impl="mxu6",
+          refill="group", raw_out=False, chains=2)
     print(json.dumps(res), flush=True)
     return 0
 

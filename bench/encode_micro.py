@@ -100,6 +100,26 @@ def main() -> int:
         return u.astype(jnp.int32).T
 
     report("units_i32_transpose", timed(lambda: transpose_i32(ud)))
+
+    # gather on PRE-transposed (step-major) input: isolates the device
+    # transpose from the gather itself (round-4: if the transpose is the
+    # bulk of lookup_cl_t, stage the units step-major from the host)
+    ut_pre = jax.block_until_ready(transpose_i32(ud))
+
+    @jax.jit
+    def lookup_sm(ut):
+        prev = jnp.concatenate(
+            [jnp.zeros((1, R), jnp.int32), ut[:-1]], axis=0)
+        cl = bp._gather_packed(tables["codes"], tables["lengths"],
+                               prev, ut)
+        valid = jnp.arange(n)[:, None] < nvd[None, :]
+        return jnp.where(valid, cl, jnp.uint32(0))
+
+    report("lookup_cl_t_pre_transposed", timed(lambda: lookup_sm(ut_pre)))
+
+    from mhc_tpu.ops.kernels import lookup_pallas
+    report("lookup_cl_t_pallas", timed(
+        lambda: lookup_pallas.lookup_cl_t_pallas(ud, nvd, tables)))
     codes_l, lens_l = api.lookup_codes(ud, nvd, tables)
     jax.block_until_ready(codes_l)
 

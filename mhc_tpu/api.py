@@ -132,6 +132,33 @@ def lookup_cl_t_auto(units, n_valid, tables):
     return lookup_cl_t(units, n_valid, tables)
 
 
+@jax.jit
+def lookup_cl_sm(ut, n_valid, tables):
+    """lookup_cl_t on PRE-transposed step-major (n, B) units (u8 or i32
+    device array): the XLA i32 transpose of the unit batch — measured as
+    a large share of the round-3 lookup stage — is replaced by a host-
+    side relayout at staging time (engine.stage/compress, NOT codec-time
+    device work). Bit-identical to lookup_cl_t on the unit-major batch
+    (tested)."""
+    ut = ut.astype(jnp.int32)                    # (n, B)
+    n, B = ut.shape
+    prev = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), ut[:-1]], axis=0)
+    cl = bitpack._gather_packed(
+        tables["codes"], tables["lengths"], prev, ut)
+    valid = jnp.arange(n)[:, None] < n_valid[None, :]
+    return jnp.where(valid, cl, jnp.uint32(0))
+
+
+def lookup_cl_sm_auto(ut, n_valid, tables):
+    """lookup_cl_sm with MHC_LOOKUP resolution (pallas kernel on TPU)."""
+    if _cfg.lookup_method() == "pallas" \
+            and jax.default_backend() == "tpu":
+        from .ops.kernels import lookup_pallas
+        return lookup_pallas.lookup_cl_sm_pallas(ut, n_valid, tables)
+    return lookup_cl_sm(ut, n_valid, tables)
+
+
 def resolve_decode_unit(block_size: int, decode_unit: int | None,
                         markov: bool = True) -> int:
     """Clamp the decode unit to the block size; units must divide blocks."""
@@ -241,6 +268,10 @@ def _expand_words_u32(payload_d, offsets, word_lens, W):
     """Aligned-payload expansion, MHC_EXPAND_IMPL-resolved (round-3 v5e:
     batched slices 32 ms vs flat gather 107 ms at the 32 MB shape)."""
     impl = _cfg.expand_impl()
+    if impl == "dma":
+        from .ops.kernels import copy_pallas
+        return copy_pallas.device_expand_words_dma(
+            payload_d, offsets, word_lens, W)
     fn = {"slices": bitpack.device_expand_words_slices,
           "blocks": bitpack.device_expand_words_blocks}.get(
         impl, bitpack.device_expand_words_u32)
@@ -251,6 +282,10 @@ def _compact_words(words, offsets, total_pad):
     """Aligned-payload compaction, MHC_COMPACT_IMPL-resolved (round-3
     v5e: batched update-slices 30 ms vs cumsum+gather 107 ms)."""
     impl = _cfg.compact_impl()
+    if impl == "dma":
+        from .ops.kernels import copy_pallas
+        return copy_pallas.device_compact_words_dma(
+            words, offsets, total_pad)
     fn = {"slices": bitpack.device_compact_words_slices,
           "blocks": bitpack.device_compact_words_blocks}.get(
         impl, bitpack.device_compact_words)
@@ -290,13 +325,21 @@ def compress(data: bytes, mode: str = "markov",
     pack_method = pack_method or _default_pack_method()
     device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
 
+    want_sm = (pack_method in ("pallas", "dense")
+               and jax.default_backend() == "tpu"
+               and os.environ.get("MHC_STAGE_SM", "1") != "0")
     with ph("h2d", units.nbytes):
         devs = []
+        sms = []
         for k in range(n_chunks):
             lo = k * C
             u = _pad_rows(units[lo:lo + C], C)
             nv = _pad_rows(n_valid[lo:lo + C], C)
             devs.append((jnp.asarray(u), jnp.asarray(nv)))
+            # host-side step-major relayout: skips the slow device i32
+            # transpose in the lookup stage (round 4)
+            sms.append(jnp.asarray(np.ascontiguousarray(u.T))
+                       if want_sm else None)
     with ph("tables", orig_len):
         counts = _hist_with_fallback(model, devs, hist_method)
         counts.copy_to_host_async()   # avoid the slow cold-fetch path
@@ -305,14 +348,16 @@ def compress(data: bytes, mode: str = "markov",
         lengths_host = np.asarray(lengths, dtype=np.uint8)
     with ph("pack", orig_len):
         packed = []
-        for ud, nvd in devs:
+        for (ud, nvd), utd in zip(devs, sms):
             if pack_method in ("pallas", "dense"):
                 from .ops.kernels import encode_pallas
                 pk = (encode_pallas.pack_blocks_dense
                       if pack_method == "dense"
                       else encode_pallas.pack_blocks_pallas)
-                words, bits = pk(
-                    lookup_cl_t_auto(ud, nvd, tables), step_major=True)
+                cl = (lookup_cl_sm_auto(utd, nvd, tables)
+                      if utd is not None
+                      else lookup_cl_t_auto(ud, nvd, tables))
+                words, bits = pk(cl, step_major=True)
             else:
                 encode = (bitpack.encode_blocks_merge
                           if pack_method == "merge"
@@ -457,7 +502,8 @@ def decompress(blob: bytes, verify: bool = True,
                 words_d, tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
                 n_out=du, markov=model.markov, fetch_impl=fetch_impl,
-                refill=refill, lane_tiles=_cfg.lane_tiles_cap())
+                refill=refill, lane_tiles=_cfg.lane_tiles_cap(),
+                chains=_cfg.decode_chains())
         return bitpack.decode_blocks(
             words_d, jnp.asarray(nv_h),
             tables["lim"], tables["base"], tables["first_code"],

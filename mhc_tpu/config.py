@@ -16,9 +16,10 @@ Knob catalog (see CLAUDE.md):
   MHC_LOOKUP         gather | mxu | pallas  (pallas = VMEM int8 MXU
                      row-fetch kernel, ops/kernels/lookup_pallas.py)
   MHC_HIST_METHOD    pallas | matmul | scatter
-  MHC_EXPAND_IMPL    slices | gather | blocks
+  MHC_EXPAND_IMPL    slices | gather | blocks | dma
   MHC_LANE_TILES     int cap on decode lane tiling (1/2/4)
-  MHC_COMPACT_IMPL   slices | gather | blocks  (payload compaction)
+  MHC_DECODE_CHAINS  interleaved lane-slice chains in the decode kernel
+  MHC_COMPACT_IMPL   slices | gather | blocks | dma  (payload compaction)
 """
 
 from __future__ import annotations
@@ -75,11 +76,22 @@ def hist_method() -> str:
 
 
 def expand_impl() -> str:
+    # slices | gather | blocks | dma (Pallas row-DMA, ops/kernels/
+    # copy_pallas.py — wired round 4 per VERDICT; measured before
+    # defaulting)
     return os.environ.get("MHC_EXPAND_IMPL", "slices")
 
 
 def lane_tiles_cap() -> int:
     return int(os.environ.get("MHC_LANE_TILES", "4"))
+
+
+def decode_chains() -> int:
+    # independent lane-slice chains interleaved inside the decode kernel
+    # (software pipelining: chain B's VPU resolve overlaps chain A's MXU
+    # fetch — the per-lane symbol chain otherwise serializes the units).
+    # 1 = round-3 behavior; measured on-chip before changing the default.
+    return int(os.environ.get("MHC_DECODE_CHAINS", "1"))
 
 
 def unroll() -> int:
@@ -93,5 +105,6 @@ def compact_impl() -> str:
     # slices: batched ascending dynamic-update-slices — 30 vs 107 ms
     # for the cumsum+gather form at 32 MB on v5e (round 3). CPU keeps
     # the gather (XLA:CPU scan-of-slices is serial and slow).
+    # dma = Pallas row-DMA (copy_pallas.py), wired round 4.
     return os.environ.get("MHC_COMPACT_IMPL") or (
         "slices" if _tpu() else "gather")

@@ -41,6 +41,11 @@ class Staged:
     chunk: int                   # units per chunk
     units: list                  # [(C, du) uint8 device]
     n_valid: list                # [(C,) int32 device]
+    # step-major (du, C) u8 copies for the TPU pack path: the host does
+    # the relayout at stage time, so the encode never pays the slow XLA
+    # i32 device transpose (round-4; bench/encode_micro.py). None on
+    # CPU / when MHC_STAGE_SM=0.
+    units_sm: list | None = None
 
 
 @dataclass
@@ -65,21 +70,27 @@ def stage(data: bytes, mode: str = "markov",
           chunk_units: int | None = None) -> Staged:
     """Blockify + transfer the input into HBM. NOT part of codec time —
     mirrors the oracle's input already sitting in RAM."""
+    import os
     model = get_model(mode)
     du = api.resolve_decode_unit(block_size, decode_unit, model.markov)
     units, n_valid = api.blockify(data, du)
     R = units.shape[0]
     C = min(chunk_units or api._chunk_units(du), max(R, 1))
+    want_sm = (jax.default_backend() == "tpu"
+               and os.environ.get("MHC_STAGE_SM", "1") != "0")
     devs, nvs = [], []
+    sms = [] if want_sm else None
     for lo in range(0, R, C):
         u = api._pad_rows(units[lo:lo + C], C)
         nv = api._pad_rows(n_valid[lo:lo + C], C)
         devs.append(jax.device_put(u))
         nvs.append(jax.device_put(nv))
+        if want_sm:
+            sms.append(jax.device_put(np.ascontiguousarray(u.T)))
     jax.block_until_ready(devs)
     return Staged(mode=model.name, block_size=block_size, decode_unit=du,
                   orig_len=len(data), n_units=R, chunk=C,
-                  units=devs, n_valid=nvs)
+                  units=devs, n_valid=nvs, units_sm=sms)
 
 
 def histogram(st: Staged, hist_method: str | None = None) -> np.ndarray:
@@ -122,12 +133,18 @@ def encode(st: Staged, hist_method: str | None = None,
     fused = pack_method == "pallas" and aligned
     packed = []
     payload = []
-    for ud, nvd in zip(st.units, st.n_valid):
+    sms = st.units_sm or [None] * len(st.units)
+    for ud, nvd, utd in zip(st.units, st.n_valid, sms):
         if pack_method in ("pallas", "dense"):
             from .ops.kernels import encode_pallas
             # packed (len<<16|code), STEP-MAJOR: the pack kernel reads
-            # it via its BlockSpec with no operand relayout
-            cl = api.lookup_cl_t_auto(ud, nvd, tables)
+            # it via its BlockSpec with no operand relayout. When the
+            # step-major staged copy exists, the device transpose is
+            # skipped entirely (bit-identical, tested).
+            if utd is not None:
+                cl = api.lookup_cl_sm_auto(utd, nvd, tables)
+            else:
+                cl = api.lookup_cl_t_auto(ud, nvd, tables)
             if fused:
                 # fused pack+compaction: dense aligned payload straight
                 # from the bubble stream, offsets on device — no host
@@ -235,7 +252,8 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
                 words_d, tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
                 n_out=du, markov=model.markov, fetch_impl=fetch_impl,
-                refill=refill, lane_tiles=_cfg.lane_tiles_cap())
+                refill=refill, lane_tiles=_cfg.lane_tiles_cap(),
+                chains=_cfg.decode_chains())
         else:
             nv = np.full(C, du, dtype=np.int32)
             nv[hi - lo:] = 0

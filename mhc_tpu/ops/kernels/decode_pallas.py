@@ -550,12 +550,26 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
                    wins=None, gbs=None,
                    *, W: int, out_chunk: int, markov: bool,
                    fetch_impl: str, refill: str = "group",
-                   unroll: int = UNROLL, ftsym_ref=None):
+                   unroll: int = UNROLL, ftsym_ref=None,
+                   chains: int = 1):
     # slab variant passes the pre-broadcast symw slabs as a second
     # table operand (bound via functools.partial on the ref position)
     o = pl.program_id(1)
 
     lanes = cnts.shape[-1]
+    # Software pipelining (round 4): the per-lane symbol chain makes
+    # every vector step data-dependent on the previous one, so the MXU
+    # fetch and the VPU resolve SERIALIZE. Splitting the lane axis into
+    # `chains` independent slices and interleaving their steps gives the
+    # scheduler independent work to overlap (chain B's one-hot/resolve
+    # runs under chain A's matmul). Math per lane is unchanged —
+    # bit-exact vs chains=1 (tested).
+    Q = chains
+    if Q > 1 and (lanes % (128 * Q) != 0
+                  or refill not in ("group", "scan")
+                  or (markov and fetch_impl not in ("mxu4", "mxu6"))):
+        Q = 1
+    Lc = lanes // Q
 
     @pl.when(o == 0)
     def _init():
@@ -569,13 +583,25 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
     allw = words_ref[0]                      # (W, 8, lanes) uint32
     ft = ft_ref[:]
     ftsym = ftsym_ref[:] if ftsym_ref is not None else None
-    prep = _prep_fetch(ft, markov, fetch_impl, lanes, ftsym)
+    if ftsym is not None and Q > 1:
+        ftsyms = [ftsym[..., q * Lc:(q + 1) * Lc] for q in range(Q)]
+    else:
+        ftsyms = [ftsym] * Q
+    prep = _prep_fetch(ft, markov, fetch_impl, Lc, ftsyms[0])
+    preps = [prep if q == 0 or ftsyms[q] is ftsyms[0]
+             else dict(prep, ftsym=ftsyms[q]) for q in range(Q)]
+    if Q > 1 and not markov:
+        for q in range(1, Q):
+            acc = ftsyms[q]
+            preps[q] = dict(prep, ftsym=acc,
+                            o0=(acc[:len(_PAIR_COLS)],
+                                acc[len(_PAIR_COLS):]))
     if refill == "group":
         allw_i = allw.astype(jnp.int32)
         w64_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, 8, lanes), 0)
+            jnp.int32, (WINDOW, 8, Lc), 0)
     else:
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 8, lanes), 0)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 8, Lc), 0)
 
     # UNROLL symbols per fori_loop iteration: the Mosaic loop carries a
     # ~6.5 us FIXED cost per iteration on this toolchain (bench/
@@ -587,56 +613,83 @@ def _decode_kernel(ft_ref, words_ref, out_ref,
     U = unroll
     sync_every = max(GRP // (U // 2), 1)
 
+    def _sl(q):
+        return slice(q * Lc, (q + 1) * Lc)
+
     def iter_body(i, carry):
-        b0, b1, b2, cnt, wp, ctx = carry
+        states = [list(s) for s in carry]    # Q x [b0,b1,b2,cnt,wp,ctx]
         if refill == "group":
             @pl.when(i % sync_every == 0)
             def _sync():
-                win, g0 = _window_fill(allw_i, wp, lanes, W)
-                wins[:] = win
-                gbs[:] = g0
-        syms = []
+                for q in range(Q):
+                    win, g0 = _window_fill(
+                        allw_i[:, :, _sl(q)], states[q][4], Lc, W)
+                    wins[:, :, _sl(q)] = win
+                    gbs[:, _sl(q)] = g0
+        syms = [[] for _ in range(Q)]
         for _ in range(U // 2):
-            if refill == "group":
-                b0, b1, b2, cnt, wp = _refill_window(
-                    wins[:], gbs[:], w64_iota, b0, b1, b2, cnt, wp)
-            elif refill == "none":
-                pass    # DIAGNOSTIC: no refill (garbage output)
-            else:
-                b0, b1, b2, cnt, wp = _refill(allw, w_iota,
-                                              b0, b1, b2, cnt, wp)
+            for q in range(Q):
+                b0, b1, b2, cnt, wp, ctx = states[q]
+                if refill == "group":
+                    b0, b1, b2, cnt, wp = _refill_window(
+                        wins[:, :, _sl(q)], gbs[:, _sl(q)], w64_iota,
+                        b0, b1, b2, cnt, wp)
+                elif refill == "none":
+                    pass    # DIAGNOSTIC: no refill (garbage output)
+                else:
+                    b0, b1, b2, cnt, wp = _refill(
+                        allw[:, :, _sl(q)], w_iota, b0, b1, b2, cnt, wp)
+                states[q][:5] = b0, b1, b2, cnt, wp
             for _ in range(2):
-                b0, b1, b2, cnt, sym = _decode_one(
-                    prep, b0, b1, b2, cnt, ctx)
-                if markov:
-                    ctx = sym
-                syms.append(sym)
+                # interleave the chains' serial steps: q's fetch matmul
+                # is independent of q-1's resolve -> units overlap
+                for q in range(Q):
+                    b0, b1, b2, cnt, wp, ctx = states[q]
+                    b0, b1, b2, cnt, sym = _decode_one(
+                        preps[q], b0, b1, b2, cnt, ctx)
+                    if markov:
+                        ctx = sym
+                    syms[q].append(sym)
+                    states[q] = [b0, b1, b2, cnt, wp, ctx]
         # U % 4 == 0: every iteration stores exactly U/4 packed words —
         # no conditional store, no pack carry
         for j in range(U // 4):
-            pk = jnp.zeros((8, lanes), jnp.uint32)
-            for b in range(4):
-                pk = pk | (syms[4 * j + b].astype(jnp.uint32)
-                           << jnp.uint32(8 * (3 - b)))
-            out_ref[0, i * (U // 4) + j] = pk
-        return b0, b1, b2, cnt, wp, ctx
+            pks = []
+            for q in range(Q):
+                pk = jnp.zeros((8, Lc), jnp.uint32)
+                for b in range(4):
+                    pk = pk | (syms[q][4 * j + b].astype(jnp.uint32)
+                               << jnp.uint32(8 * (3 - b)))
+                pks.append(pk)
+            out_ref[0, i * (U // 4) + j] = (
+                pks[0] if Q == 1 else jnp.concatenate(pks, axis=1))
+        return tuple(tuple(s) for s in states)
 
-    carry = (b0s[:].astype(jnp.uint32), b1s[:].astype(jnp.uint32),
-             b2s[:].astype(jnp.uint32), cnts[:], wps[:], ctxs[:])
+    b0f = b0s[:].astype(jnp.uint32)
+    b1f = b1s[:].astype(jnp.uint32)
+    b2f = b2s[:].astype(jnp.uint32)
+    carry = tuple(
+        (b0f[:, _sl(q)], b1f[:, _sl(q)], b2f[:, _sl(q)],
+         cnts[:, _sl(q)], wps[:, _sl(q)], ctxs[:, _sl(q)])
+        for q in range(Q))
     carry = jax.lax.fori_loop(0, out_chunk // U, iter_body, carry)
-    b0, b1, b2, cnt, wp, ctx = carry
-    b0s[:] = b0
-    b1s[:] = b1
-    b2s[:] = b2
-    cnts[:] = cnt
-    wps[:] = wp
-    ctxs[:] = ctx
+
+    def _cat(k):
+        parts = [carry[q][k] for q in range(Q)]
+        return parts[0] if Q == 1 else jnp.concatenate(parts, axis=1)
+
+    b0s[:] = _cat(0)
+    b1s[:] = _cat(1)
+    b2s[:] = _cat(2)
+    cnts[:] = _cat(3)
+    wps[:] = _cat(4)
+    ctxs[:] = _cat(5)
 
 
 @partial(jax.jit, static_argnames=("n_out", "markov", "interpret",
                                    "out_chunk", "fetch_impl",
                                    "lane_tiles", "refill", "raw_out",
-                                   "unroll"))
+                                   "unroll", "chains"))
 def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          sorted_syms, n_out: int, markov: bool = True,
                          interpret: bool = False,
@@ -645,7 +698,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
                          lane_tiles: int | None = None,
                          refill: str = "group",
                          raw_out: bool = False,
-                         unroll: int | None = None) -> jnp.ndarray:
+                         unroll: int | None = None,
+                         chains: int = 1) -> jnp.ndarray:
     """Decode R unit streams of n_out symbols each.
 
     words: (R, W) uint32 bit-packed streams (padded; W from
@@ -755,7 +809,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
             return _decode_kernel(ft_ref, words_ref, out_ref, *scr,
                                   W=W, out_chunk=ochunk, markov=markov,
                                   fetch_impl=fetch_impl, refill=refill,
-                                  unroll=U, ftsym_ref=aux_ref)
+                                  unroll=U, ftsym_ref=aux_ref,
+                                  chains=chains)
 
         out = pl.pallas_call(
             kernel_aux,
@@ -771,7 +826,8 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     else:
         out = pl.pallas_call(
             partial(_decode_kernel, W=W, out_chunk=ochunk, markov=markov,
-                    fetch_impl=fetch_impl, refill=refill, unroll=U),
+                    fetch_impl=fetch_impl, refill=refill, unroll=U,
+                    chains=chains),
             grid=grid,
             in_specs=[ft_spec, words_spec],
             out_specs=out_spec,

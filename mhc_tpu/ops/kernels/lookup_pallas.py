@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 1024
 CHUNK_STEPS = 256
-UNROLL = 4
+# steps are data-independent (ctx loaded from sym_ref) — unrolling only
+# amortizes the ~6.5 us/iter fori tax, so deeper is better until VMEM
+UNROLL = 8
 
 
 def build_cl_planes(tables) -> jnp.ndarray:
@@ -65,10 +67,22 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
     # int8 iota nor sub-32-bit comparisons (probed on-chip)
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
     dn = (((0,), (0,)), ((), ()))
+    boundary_ctx = ctxs[:]      # last symbol of the previous chunk
 
-    def body(i, ctx):
+    def body(i, _):
+        # The context is just the PREVIOUS symbol, already resident in
+        # sym_ref — loading it (instead of threading it through the loop
+        # carry, round-3 form) leaves every unrolled step data-
+        # independent, so the scheduler overlaps step r+1's one-hot/
+        # matmul with step r's resolve (round-4 pipelining).
+        cur = None
         for r in range(unroll):
             j = i * unroll + r
+            if r == 0:
+                prev = sym_ref[jnp.maximum(i * unroll - 1, 0), 0]
+                ctx = jnp.where(i == 0, boundary_ctx, prev)
+            else:
+                ctx = cur
             cur = sym_ref[j, 0]                       # (8, 128) int32
             ctxw = jnp.broadcast_to(ctx[None], (256, 8, 128))
             oh = (ctxw == iota).astype(jnp.int8)
@@ -83,11 +97,10 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
             cl = y0 | (y1 << 8) | (y2 << 16)
             jg = o * CHUNK_STEPS + j
             out_ref[j, 0] = jnp.where(jg < nv, cl, 0)
-            ctx = cur
-        return ctx
+        return 0
 
-    ctx = jax.lax.fori_loop(0, CHUNK_STEPS // unroll, body, ctxs[:])
-    ctxs[:] = ctx
+    jax.lax.fori_loop(0, CHUNK_STEPS // unroll, body, 0)
+    ctxs[:] = sym_ref[CHUNK_STEPS - 1, 0]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -95,7 +108,16 @@ def lookup_cl_t_pallas(units: jnp.ndarray, n_valid: jnp.ndarray,
                        tables, interpret: bool = False) -> jnp.ndarray:
     """Drop-in for api.lookup_cl_t: (B, n) u8 units -> step-major
     (n, B) packed (len<<16 | code) u32, zeros at masked positions."""
-    ut = units.astype(jnp.int32).T                    # (n, B)
+    return lookup_cl_sm_pallas(units.astype(jnp.int32).T, n_valid,
+                               tables, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
+                        tables, interpret: bool = False) -> jnp.ndarray:
+    """Step-major entry: (n, B) u8/i32 units (already transposed, e.g.
+    staged step-major from the host) -> (n, B) packed cl u32."""
+    ut = ut.astype(jnp.int32)
     n, B = ut.shape
     n_tiles = (B + LANES - 1) // LANES
     Rp = n_tiles * LANES

@@ -113,6 +113,29 @@ def test_pallas_plumbing_lane_tiled_interpret(markov):
     assert (out[:R, :n] == blocks).all()
 
 
+@pytest.mark.parametrize("markov", [True, False])
+def test_pallas_chains_bit_identical(markov):
+    """chains=2 (interleaved lane-slice software pipelining) must decode
+    byte-identically to chains=1 through the full pallas_call plumbing
+    (interpret mode; the math per lane is unchanged by construction)."""
+    rng = np.random.default_rng(11)
+    n, R = 32, 2048
+    blocks = rng.integers(40, 120, (R, n), dtype=np.uint8)
+    nv = np.full(R, n, np.int32)
+    t = _tables(blocks, nv, markov)
+    w, _ = bitpack.encode_blocks_merge(jnp.array(blocks), jnp.array(nv),
+                                       t["codes"], t["lengths"])
+    kw = dict(n_out=n, markov=markov, interpret=True, out_chunk=16,
+              fetch_impl="mxu4" if markov else "chunk")
+    ref = np.array(dp.decode_blocks_pallas(
+        w, t["lim"], t["base"], t["first_code"], t["sorted_syms"], **kw))
+    got = np.array(dp.decode_blocks_pallas(
+        w, t["lim"], t["base"], t["first_code"], t["sorted_syms"],
+        chains=2, **kw))
+    assert (got == ref).all()
+    assert (ref[:R, :n] == blocks).all()
+
+
 @pytest.mark.parametrize("fetch_impl", ["sparse", "mxu", "mxu2", "mxu3",
                                         "mxu4", "mxu5", "mxu6", "slab"])
 def test_kernel_math_fetch_impls(fetch_impl):

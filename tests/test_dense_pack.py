@@ -135,3 +135,50 @@ def test_lookup_pallas_matches_gather():
     out = np.asarray(lookup_pallas.lookup_cl_t_pallas(
         jnp.asarray(units), jnp.asarray(nv), tables, interpret=True))
     assert np.array_equal(ref, out)
+
+
+def test_lookup_cl_sm_matches_t():
+    """Step-major (pre-transposed) lookup must equal lookup_cl_t on the
+    unit-major batch — the round-4 host-side staging relies on it."""
+    from mhc_tpu import api
+    from mhc_tpu.models.entropy import get_model
+    rng = np.random.default_rng(21)
+    units = rng.integers(0, 256, (64, 1024), dtype=np.uint8)
+    units[units < 128] %= 23
+    nv = np.full((64,), 1024, np.int32)
+    nv[-1] = 517
+    model = get_model("markov")
+    counts = model.histogram(jnp.asarray(units), jnp.asarray(nv),
+                             method="scatter")
+    tables = model.tables_from_lengths(
+        model.lengths_from_counts(np.asarray(counts)))
+    ref = np.asarray(api.lookup_cl_t(jnp.asarray(units), jnp.asarray(nv),
+                                     tables))
+    got = np.asarray(api.lookup_cl_sm(
+        jnp.asarray(np.ascontiguousarray(units.T)), jnp.asarray(nv),
+        tables))
+    assert (ref == got).all()
+
+
+def test_lookup_sm_pallas_interpret_matches():
+    """lookup_cl_sm_pallas (interpret) == lookup_cl_sm on step-major
+    input, including the chunk-boundary context carry."""
+    from mhc_tpu import api
+    from mhc_tpu.models.entropy import get_model
+    from mhc_tpu.ops.kernels import lookup_pallas
+    rng = np.random.default_rng(31)
+    n = lookup_pallas.CHUNK_STEPS * 2 + 37   # exercises padding + carry
+    units = rng.integers(0, 64, (lookup_pallas.LANES + 3, n),
+                         dtype=np.uint8)
+    nv = np.full((units.shape[0],), n, np.int32)
+    nv[-1] = 11
+    model = get_model("markov")
+    counts = model.histogram(jnp.asarray(units), jnp.asarray(nv),
+                             method="scatter")
+    tables = model.tables_from_lengths(
+        model.lengths_from_counts(np.asarray(counts)))
+    ut = jnp.asarray(np.ascontiguousarray(units.T))
+    ref = np.asarray(api.lookup_cl_sm(ut, jnp.asarray(nv), tables))
+    got = np.asarray(lookup_pallas.lookup_cl_sm_pallas(
+        ut, jnp.asarray(nv), tables, interpret=True))
+    assert (ref == got).all()
