@@ -131,6 +131,17 @@ def encode(st: Staged, hist_method: str | None = None,
 
     aligned = container.aligned_payload(model.mode)
     fused = pack_method == "pallas" and aligned
+    # Device-side compaction offsets (round 4): the round-3 path synced
+    # per-chunk bit lengths to the host to size/offset the compaction —
+    # each sync costs a full relay round-trip (~26 ms measured) AND
+    # serializes chunk k's compaction behind its pack. With offsets
+    # computed on device and a worst-case static pad, the whole encode
+    # is ONE dispatch stream with a single final sync. (CPU keeps the
+    # host-offset path: its compaction impl wants host sizes.)
+    dev_offs = (aligned and pack_method in ("pallas", "dense")
+                and not fused
+                and jax.default_backend() == "tpu"
+                and os.environ.get("MHC_DEVICE_OFFSETS", "1") != "0")
     packed = []
     payload = []
     sms = st.units_sm or [None] * len(st.units)
@@ -164,6 +175,14 @@ def encode(st: Staged, hist_method: str | None = None,
                    else bitpack.encode_blocks)
             words, bits = enc(ud, nvd, tables["codes"], tables["lengths"])
         bits.copy_to_host_async()
+        if dev_offs:
+            # offsets from the on-device bit lengths; worst-case pad
+            # (C x W words) keeps the shape static with zero host syncs
+            wl = (bits.astype(jnp.int32) + 31) // 32
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(wl)])
+            pad = words.shape[0] * words.shape[1]
+            payload.append(api._compact_words(words, offsets, pad))
         packed.append((words, bits))
 
     payload_n = []
@@ -174,9 +193,9 @@ def encode(st: Staged, hist_method: str | None = None,
         lens = container.stream_byte_lens(bits_h, model.mode)
         if aligned:
             lens = lens // 4
-        if fused:
+        if fused or dev_offs:
             total = int(lens.sum())
-            # the fused kernel writes into a worst-case Rp*W buffer
+            # the kernel/compaction wrote into a worst-case Rp*W buffer
             # (~1.9x input bytes); slice it to the granularity-padded
             # true size so the EncodeResult doesn't pin ~3-4x the
             # compressed size in HBM for its lifetime (ADVICE r2)

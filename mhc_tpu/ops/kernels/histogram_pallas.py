@@ -29,7 +29,7 @@ CHUNK = 2048   # order-0 kernel rows per grid step
 MCHUNK = 16384
 
 
-def _hist_kernel(prev_ref, cur_ref, out_ref):
+def _hist_kernel(prev_ref, cur_ref, out_ref, *, variant: str = "v3"):
     # round-3 rewrite (v3): the round-2 (CHUNK, 1)-block,
     # axis-0-contraction version crashed the remote Mosaic compiler
     # (HTTP 500; CLAUDE.md traps). This form sticks to patterns the
@@ -39,6 +39,16 @@ def _hist_kernel(prev_ref, cur_ref, out_ref):
     # 2D matmul with int32 accumulation (decode mxu5) — one-hot
     # products are exact in int8, and the v5e int8 MXU path runs at 2x
     # the bf16 rate with no f32->int cast on the hot output.
+    #
+    # Round-4 variants (bench/hist_probe.py picks the default):
+    #   v3   int8 one-hots, minor-merge reshape, int8 MXU (round 3)
+    #   v4b  bf16 one-hots (2-way packed cast vs int8's 4-way), bf16
+    #        MXU with exact f32 accumulation (one-hot operands are 0/1,
+    #        partials <= MCHUNK << 2^24)
+    #   v5   int8 one-hots, multi-dim (8,K) contraction — no reshape
+    #        (the (256,8,K)->(256,8K) merge interleaves sublanes into
+    #        lanes: a relayout, suspected v3 overhead)
+    #   v6   bf16 one-hots, multi-dim contraction
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -54,19 +64,26 @@ def _hist_kernel(prev_ref, cur_ref, out_ref):
     # does not support this comparison"), so the 256-deep compare+cast
     # is the kernel's floor.
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, K), 0)
-    a = (jnp.broadcast_to(p[None], (256, 8, K)) == iota).astype(
-        jnp.int8).reshape(256, 8 * K)
-    b = (jnp.broadcast_to(c[None], (256, 8, K)) == iota).astype(
-        jnp.int8).reshape(256, 8 * K)
-    partial_counts = jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    out_ref[:] += partial_counts
+    dt = jnp.bfloat16 if variant in ("v4b", "v6") else jnp.int8
+    acc = jnp.float32 if dt == jnp.bfloat16 else jnp.int32
+    a = (jnp.broadcast_to(p[None], (256, 8, K)) == iota).astype(dt)
+    b = (jnp.broadcast_to(c[None], (256, 8, K)) == iota).astype(dt)
+    if variant in ("v5", "v6"):
+        partial_counts = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1, 2), (1, 2)), ((), ())),
+            preferred_element_type=acc)
+    else:
+        partial_counts = jax.lax.dot_general(
+            a.reshape(256, 8 * K), b.reshape(256, 8 * K),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc)
+    out_ref[:] += partial_counts.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "variant"))
 def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           variant: str = "v3") -> jnp.ndarray:
     """256x256 [prev, cur] counts. prev/cur: (N,) int32 with sentinel 256
     marking padded/masked positions. Returns (256, 256) int32."""
     N = prev.shape[0]
@@ -79,7 +96,7 @@ def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
     cur2 = cur.reshape(n_chunks, 8, MCHUNK // 8)
 
     return pl.pallas_call(
-        _hist_kernel,
+        partial(_hist_kernel, variant=variant),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 8, MCHUNK // 8), lambda i: (i, 0, 0),
@@ -102,7 +119,8 @@ def histogram_pairs_pallas(prev: jnp.ndarray, cur: jnp.ndarray,
 
 def markov_hist_pallas(data: jnp.ndarray, n_valid: jnp.ndarray,
                        init_ctx: int = 0,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       variant: str = "v3") -> jnp.ndarray:
     """(B, n) block batch -> (256, 256) [prev, cur] counts, context reset
     per block, positions past n_valid masked via the sentinel."""
     data = data.astype(jnp.int32)
@@ -112,7 +130,7 @@ def markov_hist_pallas(data: jnp.ndarray, n_valid: jnp.ndarray,
     valid = jnp.arange(n)[None, :] < n_valid[:, None]
     cur = jnp.where(valid, data, 256)
     return histogram_pairs_pallas(prev.reshape(-1), cur.reshape(-1),
-                                  interpret=interpret)
+                                  interpret=interpret, variant=variant)
 
 
 def _hist0_kernel(cur_ref, out_ref):

@@ -74,23 +74,26 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
         # sym_ref — loading it (instead of threading it through the loop
         # carry, round-3 form) leaves every unrolled step data-
         # independent, so the scheduler overlaps step r+1's one-hot/
-        # matmul with step r's resolve (round-4 pipelining).
-        cur = None
+        # matmul with step r's resolve (round-4 pipelining). The cur
+        # select mask of step r IS step r+1's context one-hot, so each
+        # step builds ONE 256-deep compare, not two.
+        sel_prev = None
         for r in range(unroll):
             j = i * unroll + r
+            cur = sym_ref[j, 0]                       # (8, 128) int32
             if r == 0:
                 prev = sym_ref[jnp.maximum(i * unroll - 1, 0), 0]
                 ctx = jnp.where(i == 0, boundary_ctx, prev)
+                ctxw = jnp.broadcast_to(ctx[None], (256, 8, 128))
+                oh = (ctxw == iota).astype(jnp.int8)
             else:
-                ctx = cur
-            cur = sym_ref[j, 0]                       # (8, 128) int32
-            ctxw = jnp.broadcast_to(ctx[None], (256, 8, 128))
-            oh = (ctxw == iota).astype(jnp.int8)
+                oh = sel_prev.astype(jnp.int8)
             x = jax.lax.dot_general(
                 ft, oh, dimension_numbers=dn,
                 preferred_element_type=jnp.int32)     # (768, 8, 128)
             curw = jnp.broadcast_to(cur[None], (256, 8, 128))
             sel = curw == iota
+            sel_prev = sel
             y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + 128
             y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + 128
             y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + 128

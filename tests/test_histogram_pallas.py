@@ -22,11 +22,12 @@ def blocks():
     return jnp.asarray(padded.reshape(B, n)), jnp.asarray(n_valid)
 
 
-def test_markov_hist_pallas_matches_matmul(blocks):
+@pytest.mark.parametrize("variant", ["v3", "v4b", "v5", "v6"])
+def test_markov_hist_pallas_matches_matmul(blocks, variant):
     data, nv = blocks
     ref = np.asarray(histogram.histogram_markov(data, nv, method="matmul"))
     got = np.asarray(histogram_pallas.markov_hist_pallas(
-        data, nv, interpret=True))
+        data, nv, interpret=True, variant=variant))
     np.testing.assert_array_equal(got, ref)
 
 
