@@ -111,11 +111,23 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    def _force(arrs):
+    @jax.jit
+    def _sample_sum(arrs):
+        tot = jnp.zeros((), jnp.int32)
         for x in arrs:
-            if isinstance(x, jax.Array) and x.size:
-                int(jnp.sum(x.reshape(-1)[:: max(x.size // 4096, 1)]
-                            .astype(jnp.int32)))
+            tot += jnp.sum(x.reshape(-1)[:: max(x.size // 4096, 1)]
+                           .astype(jnp.int32))
+        return tot
+
+    def _force(arrs):
+        # ONE host-scalar fetch covering every chunk array: the per-array
+        # form paid a full relay round-trip (~26 ms measured round 4)
+        # PER CHUNK — pure dispatch latency, not codec work (sub-ms on
+        # directly-attached hardware). One fused fetch still forces
+        # every timed device result.
+        arrs = [x for x in arrs if isinstance(x, jax.Array) and x.size]
+        if arrs:
+            int(_sample_sum(arrs))
 
     enc_t, dec_t = [], []
     for _ in range(reps):

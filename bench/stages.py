@@ -45,14 +45,23 @@ def main() -> int:
     print(f"[stages] {n_mb}MB {mode}, du={du}, "
           f"{len(st.units)} chunks x {st.chunk} units", flush=True)
 
+    @jax.jit
+    def _sample_sum(arrs):
+        tot = jnp.zeros((), jnp.int32)
+        for x in arrs:
+            tot += jnp.sum(x.reshape(-1)[:: max(x.size // 4096, 1)]
+                           .astype(jnp.int32))
+        return tot
+
     def _force(out):
         # block_until_ready returns early for warm Mosaic dispatches —
-        # force a host scalar per jax leaf (CLAUDE.md traps)
-        for leaf in jax.tree_util.tree_leaves(out):
-            if isinstance(leaf, jax.Array) and leaf.size:
-                int(jnp.sum(leaf.reshape(-1)
-                            [:: max(leaf.size // 4096, 1)]
-                            .astype(jnp.int32)))
+        # force ONE host scalar covering every jax leaf (per-leaf
+        # fetches paid a ~26 ms relay round-trip EACH, round-4 finding;
+        # every single-dispatch stage row still carries one such floor)
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if isinstance(x, jax.Array) and x.size]
+        if leaves:
+            int(_sample_sum(leaves))
 
     def stage(name, fn, reps=2):
         try:

@@ -268,10 +268,6 @@ def _expand_words_u32(payload_d, offsets, word_lens, W):
     """Aligned-payload expansion, MHC_EXPAND_IMPL-resolved (round-3 v5e:
     batched slices 32 ms vs flat gather 107 ms at the 32 MB shape)."""
     impl = _cfg.expand_impl()
-    if impl == "dma":
-        from .ops.kernels import copy_pallas
-        return copy_pallas.device_expand_words_dma(
-            payload_d, offsets, word_lens, W)
     fn = {"slices": bitpack.device_expand_words_slices,
           "blocks": bitpack.device_expand_words_blocks}.get(
         impl, bitpack.device_expand_words_u32)
@@ -282,10 +278,6 @@ def _compact_words(words, offsets, total_pad):
     """Aligned-payload compaction, MHC_COMPACT_IMPL-resolved (round-3
     v5e: batched update-slices 30 ms vs cumsum+gather 107 ms)."""
     impl = _cfg.compact_impl()
-    if impl == "dma":
-        from .ops.kernels import copy_pallas
-        return copy_pallas.device_compact_words_dma(
-            words, offsets, total_pad)
     fn = {"slices": bitpack.device_compact_words_slices,
           "blocks": bitpack.device_compact_words_blocks}.get(
         impl, bitpack.device_compact_words)

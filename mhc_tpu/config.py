@@ -16,10 +16,11 @@ Knob catalog (see CLAUDE.md):
   MHC_LOOKUP         gather | mxu | pallas  (pallas = VMEM int8 MXU
                      row-fetch kernel, ops/kernels/lookup_pallas.py)
   MHC_HIST_METHOD    pallas | matmul | scatter
-  MHC_EXPAND_IMPL    slices | gather | blocks | dma
+  MHC_HIST_VARIANT   v3 | v4b  (Pallas markov-hist kernel build)
+  MHC_EXPAND_IMPL    slices | gather | blocks
   MHC_LANE_TILES     int cap on decode lane tiling (1/2/4)
   MHC_DECODE_CHAINS  interleaved lane-slice chains in the decode kernel
-  MHC_COMPACT_IMPL   slices | gather | blocks | dma  (payload compaction)
+  MHC_COMPACT_IMPL   slices | gather | blocks  (payload compaction)
 """
 
 from __future__ import annotations
@@ -61,10 +62,14 @@ def pack_method() -> str:
 
 
 def lookup_method() -> str:
-    # gather beats the XLA MXU bilinear 2.3x with honest (sync-forced)
-    # timing — bench/encode_micro.py round 3. "pallas" selects the
-    # VMEM-resident int8 MXU row-fetch kernel (lookup_pallas.py).
-    return os.environ.get("MHC_LOOKUP") or "gather"
+    # pallas (VMEM-resident int8 MXU row-fetch kernel, round-4 default):
+    # 95 ms vs the XLA flat gather's 145 ms MARGINAL per 16 MB on v5e
+    # (bench/lookup_fuse_probe.py amortized methodology — the round-3
+    # "gather at 0.49 GB/s" reading was the ~26 ms relay-floor artifact;
+    # the true gather rate is 8.6 ns/lookup). Chip-gated bit-exact by
+    # tests/test_tpu_chip.py::test_lookup_pallas_bit_exact.
+    return os.environ.get("MHC_LOOKUP") or (
+        "pallas" if _tpu() else "gather")
 
 
 def hist_method() -> str:
@@ -75,10 +80,18 @@ def hist_method() -> str:
         "pallas" if _tpu() else "scatter")
 
 
+def hist_variant() -> str:
+    # Pallas markov-hist kernel build: v4b (bf16 one-hots, exact f32
+    # accumulation) measured 42.7 ms real vs v3 int8's 57.6 at 32 MB
+    # (bench/hist_probe.py); v5/v6 multi-dim contraction forms do not
+    # compile on this Mosaic ("tpu.matmul Not implemented").
+    return os.environ.get("MHC_HIST_VARIANT", "v4b")
+
+
 def expand_impl() -> str:
-    # slices | gather | blocks | dma (Pallas row-DMA, ops/kernels/
-    # copy_pallas.py — wired round 4 per VERDICT; measured before
-    # defaulting)
+    # (a Pallas row-DMA variant was wired and chip-tested round 4: the
+    # word-granular 1-D HBM DMA does NOT compile on this Mosaic —
+    # HTTP 500 — so the module was deleted; slices stays the default)
     return os.environ.get("MHC_EXPAND_IMPL", "slices")
 
 
@@ -105,6 +118,5 @@ def compact_impl() -> str:
     # slices: batched ascending dynamic-update-slices — 30 vs 107 ms
     # for the cumsum+gather form at 32 MB on v5e (round 3). CPU keeps
     # the gather (XLA:CPU scan-of-slices is serial and slow).
-    # dma = Pallas row-DMA (copy_pallas.py), wired round 4.
     return os.environ.get("MHC_COMPACT_IMPL") or (
         "slices" if _tpu() else "gather")

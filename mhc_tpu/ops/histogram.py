@@ -43,12 +43,16 @@ def histogram_markov(data: jnp.ndarray, n_valid: jnp.ndarray,
             'scatter' (XLA scatter-add; fast on CPU only).
     All three produce identical counts (tested)."""
     if method == "pallas":
-        # v3 kernel (int8 one-hots in VMEM + 2D int8 MXU contraction):
-        # verified exact and ~1.25x the XLA matmul on the v5e chip
-        # (round 3). The round-2 (CHUNK,1)-block version crashed the
-        # remote Mosaic compiler — that form is gone.
+        # v4b kernel (bf16 one-hots in VMEM + bf16 MXU, exact f32
+        # accumulation): 42.7 ms real vs v3 int8's 57.6 and the XLA
+        # matmul's 75.2 at 32 MB on v5e (bench/hist_probe.py round-4
+        # amortized timing) — the bf16 cast packs 2-way vs int8's
+        # 4-way shuffle. Counts asserted identical on-chip
+        # (test_tpu_chip.py::test_markov_pallas_hist_exact).
         from .kernels import histogram_pallas
-        return histogram_pallas.markov_hist_pallas(data, n_valid, init_ctx)
+        from .. import config as _cfg
+        return histogram_pallas.markov_hist_pallas(
+            data, n_valid, init_ctx, variant=_cfg.hist_variant())
     prev, cur, valid = markov_pairs(data, n_valid, init_ctx)
     if method == "scatter":
         upd = valid.astype(jnp.int32)

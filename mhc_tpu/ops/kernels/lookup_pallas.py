@@ -115,9 +115,10 @@ def lookup_cl_t_pallas(units: jnp.ndarray, n_valid: jnp.ndarray,
                                tables, interpret=interpret)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "unroll"))
 def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
-                        tables, interpret: bool = False) -> jnp.ndarray:
+                        tables, interpret: bool = False,
+                        unroll: int | None = None) -> jnp.ndarray:
     """Step-major entry: (n, B) u8/i32 units (already transposed, e.g.
     staged step-major from the host) -> (n, B) packed cl u32."""
     ut = ut.astype(jnp.int32)
@@ -135,7 +136,8 @@ def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
     ft = build_cl_planes(tables)
     n_chunks = n_pad // CHUNK_STEPS
     out = pl.pallas_call(
-        partial(_lookup_kernel, n_chunks=n_chunks),
+        partial(_lookup_kernel, n_chunks=n_chunks,
+                unroll=unroll or UNROLL),
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((256, 768), lambda t, o: (0, 0),

@@ -90,27 +90,6 @@ def test_copy_variants_bit_identical(R, W, seed):
         assert np.array_equal(eref, out), fn.__name__
 
 
-def test_copy_dma_interpret():
-    """The Mosaic DMA forms run only in interpret mode off-TPU; their
-    on-chip compile is gated by the tpu-marked suite."""
-    from mhc_tpu.ops.kernels import copy_pallas
-    rng = np.random.default_rng(6)
-    words, wl, offs = _ragged_words(rng, 70, 128)
-    total = int(offs[-1])
-    tp = max(-(-total // 256) * 256, 256)
-    ref = np.asarray(bitpack.device_compact_words(
-        jnp.asarray(words), jnp.asarray(offs), tp))
-    out = np.asarray(copy_pallas.device_compact_words_dma(
-        jnp.asarray(words), jnp.asarray(offs), tp, interpret=True))
-    assert np.array_equal(ref, out)
-    eref = np.asarray(bitpack.device_expand_words_u32(
-        jnp.asarray(ref), jnp.asarray(offs), jnp.asarray(wl), 128))
-    out2 = np.asarray(copy_pallas.device_expand_words_dma(
-        jnp.asarray(ref), jnp.asarray(offs), jnp.asarray(wl), 128,
-        interpret=True))
-    assert np.array_equal(eref, out2)
-
-
 def test_lookup_pallas_matches_gather():
     """The VMEM int8-MXU lookup kernel is bit-identical to the XLA
     flat-gather lookup_cl_t on a table with every code length in play."""

@@ -157,27 +157,6 @@ def test_lookup_pallas_bit_exact(corpus16):
     assert (ref == got).all()
 
 
-def test_dma_copy_impls_bit_exact(corpus16):
-    """MHC_EXPAND_IMPL/MHC_COMPACT_IMPL=dma (Pallas row-DMA over 1-D HBM
-    refs) must compile on the real chip and roundtrip byte-identically —
-    the kernels' word-granular-HBM-DMA claim is only provable on
-    hardware (ADVICE r3). If this fails, the dma knob must be removed."""
-    from mhc_tpu import api
-    data = corpus16[: 8 << 20]
-    blob = api.compress(data, mode="markov")
-    overrides = {"MHC_EXPAND_IMPL": "dma", "MHC_COMPACT_IMPL": "dma"}
-    old = {k: os.environ.pop(k, None) for k in overrides}
-    try:
-        os.environ.update(overrides)
-        assert api.compress(data, mode="markov") == blob
-        assert api.decompress(blob) == data
-    finally:
-        for k, v in old.items():
-            os.environ.pop(k, None)
-            if v is not None:
-                os.environ[k] = v
-
-
 def test_sharded_pipeline_on_chip(corpus16):
     """Config-4 path on real hardware: a 1-device TPU mesh runs the
     sharded pipeline with the Pallas kernel selected per shard
