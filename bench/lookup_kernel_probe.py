@@ -87,6 +87,17 @@ def main() -> int:
         bench_pair(f"pallas_u{u}", lambda x, u=u:
                    lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
                                                      unroll=u))
+    for u in (4, 8):
+        bench_pair(f"pallas_bf16_u{u}", lambda x, u=u:
+                   lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
+                                                     unroll=u,
+                                                     variant="bf16"))
+    # exactness: bf16 variant vs int8 on real data
+    a = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables))
+    b = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables,
+                                                     variant="bf16"))
+    res["bf16_exact"] = bool((a == b).all())
+    print(f"[lkp] bf16 exact: {res['bf16_exact']}", flush=True)
     bench_pair("xla_gather_sm", lambda x:
                api.lookup_cl_sm(x, nvd, tables))
     print(json.dumps(res), flush=True)

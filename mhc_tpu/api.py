@@ -317,7 +317,7 @@ def compress(data: bytes, mode: str = "markov",
     pack_method = pack_method or _default_pack_method()
     device_compact = os.environ.get("MHC_DEVICE_COMPACT", "1") != "0"
 
-    want_sm = (pack_method in ("pallas", "dense")
+    want_sm = (pack_method in ("pallas", "dense", "fused")
                and jax.default_backend() == "tpu"
                and os.environ.get("MHC_STAGE_SM", "1") != "0")
     with ph("h2d", units.nbytes):
@@ -341,11 +341,15 @@ def compress(data: bytes, mode: str = "markov",
     with ph("pack", orig_len):
         packed = []
         for (ud, nvd), utd in zip(devs, sms):
-            if pack_method in ("pallas", "dense"):
+            if pack_method == "fused" and utd is not None:
                 from .ops.kernels import encode_pallas
-                pk = (encode_pallas.pack_blocks_dense
-                      if pack_method == "dense"
-                      else encode_pallas.pack_blocks_pallas)
+                words, bits = encode_pallas.pack_blocks_fused_sm(
+                    utd, nvd, tables)
+            elif pack_method in ("pallas", "dense", "fused"):
+                from .ops.kernels import encode_pallas
+                pk = (encode_pallas.pack_blocks_pallas
+                      if pack_method == "pallas"
+                      else encode_pallas.pack_blocks_dense)
                 cl = (lookup_cl_sm_auto(utd, nvd, tables)
                       if utd is not None
                       else lookup_cl_t_auto(ud, nvd, tables))

@@ -56,6 +56,7 @@ def pack_method() -> str:
     # dense: in-kernel word-stream assembly (reverse group window) —
     # 2.1x the bubble+scatter pack on v5e and removes the compaction
     # scatter entirely (48 vs 102 ms kernel at 32 MB, round 3).
+    # fused: lookup+pack in ONE Mosaic program (no cl plane, round 4).
     # pallas = bubble-stream legacy, merge/scatter = XLA packers.
     return os.environ.get("MHC_PACK_METHOD") or (
         "dense" if _tpu() else "merge")

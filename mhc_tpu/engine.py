@@ -138,7 +138,7 @@ def encode(st: Staged, hist_method: str | None = None,
     # computed on device and a worst-case static pad, the whole encode
     # is ONE dispatch stream with a single final sync. (CPU keeps the
     # host-offset path: its compaction impl wants host sizes.)
-    dev_offs = (aligned and pack_method in ("pallas", "dense")
+    dev_offs = (aligned and pack_method in ("pallas", "dense", "fused")
                 and not fused
                 and jax.default_backend() == "tpu"
                 and os.environ.get("MHC_DEVICE_OFFSETS", "1") != "0")
@@ -146,7 +146,20 @@ def encode(st: Staged, hist_method: str | None = None,
     payload = []
     sms = st.units_sm or [None] * len(st.units)
     for ud, nvd, utd in zip(st.units, st.n_valid, sms):
-        if pack_method in ("pallas", "dense"):
+        if pack_method == "fused" and utd is not None:
+            from .ops.kernels import encode_pallas
+            words, bits = encode_pallas.pack_blocks_fused_sm(
+                utd, nvd, tables)
+            bits.copy_to_host_async()
+            if dev_offs:
+                wl = (bits.astype(jnp.int32) + 31) // 32
+                offsets = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(wl)])
+                payload.append(api._compact_words(
+                    words, offsets, words.shape[0] * words.shape[1]))
+            packed.append((words, bits))
+            continue
+        if pack_method in ("pallas", "dense", "fused"):
             from .ops.kernels import encode_pallas
             # packed (len<<16|code), STEP-MAJOR: the pack kernel reads
             # it via its BlockSpec with no operand relayout. When the
@@ -166,9 +179,9 @@ def encode(st: Staged, hist_method: str | None = None,
                 packed.append((None, bits))
                 bits.copy_to_host_async()
                 continue
-            pk = (encode_pallas.pack_blocks_dense
-                  if pack_method == "dense"
-                  else encode_pallas.pack_blocks_pallas)
+            pk = (encode_pallas.pack_blocks_pallas
+                  if pack_method == "pallas"
+                  else encode_pallas.pack_blocks_dense)
             words, bits = pk(cl, step_major=True)
         else:
             enc = (bitpack.encode_blocks_merge if pack_method == "merge"

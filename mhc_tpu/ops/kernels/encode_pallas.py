@@ -521,3 +521,211 @@ def compact_bubbles(bwr, bvr, tail_r, nbits_r, W: int):
                      jnp.where(has_tail, nwords, dump)].set(
         tail_r, mode="drop", unique_indices=True)
     return words[:, :W]
+
+
+# ---------------------------------------------------------------------------
+# Fused lookup+pack megakernel (round 4).
+#
+# The split pipeline writes the 4 B/sym packed cl plane to HBM (lookup)
+# and re-reads it (pack) — ~8 B/sym of HBM traffic plus one dispatch.
+# This kernel reads the raw 4 B/sym step-major symbol stream and runs
+# the lookup_pallas fetch (one-hot + VMEM-resident plane-stack MXU
+# contraction, data-independent steps that the scheduler pipelines)
+# DIRECTLY into the dense pack rounds (serial per-lane bit chain): the
+# cl plane never exists, and the pack's cheap serial VPU work overlaps
+# the lookup's MXU fetches. Bit-identical to lookup_cl_sm_* followed by
+# pack_blocks_dense (tested).
+
+def _fused_kernel(ft_ref, nv_ref, sym_ref, out_ref, nbits_ref,
+                  a0s, a1s, cnts, wps, tots, wins, gbs, ctxs,
+                  *, W: int, n_chunks: int, unroll: int = PACK_UNROLL,
+                  variant: str = "i8"):
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _init():
+        a0s[:] = jnp.zeros((8, 128), jnp.uint32)
+        a1s[:] = jnp.zeros((8, 128), jnp.uint32)
+        cnts[:] = jnp.zeros((8, 128), jnp.int32)
+        wps[:] = jnp.zeros((8, 128), jnp.int32)
+        tots[:] = jnp.zeros((8, 128), jnp.int32)
+        wins[:] = jnp.zeros((PWINDOW, 8, 128), jnp.int32)
+        gbs[:] = jnp.zeros((8, 128), jnp.int32)
+        ctxs[:] = jnp.zeros((8, 128), jnp.int32)
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    ft = ft_ref[:]                          # (256, 768) int8 | bf16
+    nv = nv_ref[0]                          # (8, 128) int32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
+    dn = (((0,), (0,)), ((), ()))
+    oh_dt = jnp.bfloat16 if variant == "bf16" else jnp.int8
+    acc_dt = jnp.float32 if variant == "bf16" else jnp.int32
+    boundary_ctx = ctxs[:]
+    w32_iota = jax.lax.broadcasted_iota(jnp.int32, (PWINDOW, 8, 128), 0)
+
+    def _flush_rotate(win, gb, wp):
+        gbw = jnp.broadcast_to(gb[None], (PGRP, 8, 128))
+        win0 = win[:PGRP]
+        win1 = win[PGRP:]
+        for g in range(W // PGRP):
+            slab = out_ref[0, g * PGRP:(g + 1) * PGRP]
+            slab = jnp.where(gbw == g, win0, slab)
+            if g > 0:
+                slab = jnp.where(gbw == g - 1, win1, slab)
+            out_ref[0, g * PGRP:(g + 1) * PGRP] = slab
+        g0 = wp >> PLOG2
+        moved = jnp.broadcast_to((g0 > gb)[None], (PGRP, 8, 128))
+        new_win = jnp.concatenate(
+            [jnp.where(moved, win1, win0),
+             jnp.where(moved, jnp.int32(0), win1)], axis=0)
+        return new_win, g0
+
+    def _lookup_one(oh, cur, jg):
+        """One (code, len) fetch; returns (code u32, len i32, cur sel)."""
+        x = jax.lax.dot_general(ft, oh, dimension_numbers=dn,
+                                preferred_element_type=acc_dt)
+        curw = jnp.broadcast_to(cur[None], (256, 8, 128))
+        sel = curw == iota
+        if variant == "bf16":
+            y0 = jnp.sum(jnp.where(sel, x[0:256], 0.0),
+                         axis=0).astype(jnp.int32)
+            y1 = jnp.sum(jnp.where(sel, x[256:512], 0.0),
+                         axis=0).astype(jnp.int32)
+            y2 = jnp.sum(jnp.where(sel, x[512:768], 0.0),
+                         axis=0).astype(jnp.int32)
+        else:
+            y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + 128
+            y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + 128
+            y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + 128
+        valid = jg < nv
+        code = jnp.where(valid, y0 | (y1 << 8), 0).astype(jnp.uint32)
+        ln = jnp.where(valid, y2, 0)
+        return code, ln, sel
+
+    def body(i, carry):
+        a0, a1, cnt, wp, tot, win, gb = carry
+        win, gb = _flush_rotate(win, gb, wp)
+        sel_prev = None
+        for r in range(unroll):
+            j0 = 2 * (i * unroll + r)
+            j1 = j0 + 1
+            cur0 = sym_ref[j0, 0]
+            cur1 = sym_ref[j1, 0]
+            if r == 0:
+                prev = sym_ref[jnp.maximum(2 * i * unroll - 1, 0), 0]
+                ctx = jnp.where(i == 0, boundary_ctx, prev)
+                ctxw = jnp.broadcast_to(ctx[None], (256, 8, 128))
+                oh0 = (ctxw == iota).astype(oh_dt)
+            else:
+                oh0 = sel_prev.astype(oh_dt)
+            c0, l0, sel0 = _lookup_one(oh0, cur0, o * CHUNK_STEPS + j0)
+            c1, l1, sel1 = _lookup_one(sel0.astype(oh_dt), cur1,
+                                       o * CHUNK_STEPS + j1)
+            sel_prev = sel1
+            a0, a1, cnt, word, valid = _pack_round(
+                a0, a1, cnt, (c0, c1), (l0, l1))
+            off = jnp.broadcast_to((wp - (gb << PLOG2))[None],
+                                   (PWINDOW, 8, 128))
+            hit = jnp.broadcast_to((valid > 0)[None], (PWINDOW, 8, 128))
+            win = jnp.where((w32_iota == off) & hit,
+                            word.astype(jnp.int32), win)
+            wp = wp + valid
+            tot = tot + l0 + l1
+        return a0, a1, cnt, wp, tot, win, gb
+
+    carry = (a0s[:], a1s[:], cnts[:], wps[:], tots[:], wins[:], gbs[:])
+    a0, a1, cnt, wp, tot, win, gb = jax.lax.fori_loop(
+        0, (CHUNK_STEPS // 2) // unroll, body, carry)
+
+    @pl.when(o == n_chunks - 1)
+    def _fin():
+        off = jnp.broadcast_to((wp - (gb << PLOG2))[None],
+                               (PWINDOW, 8, 128))
+        hit = jnp.broadcast_to((cnt > 0)[None], (PWINDOW, 8, 128))
+        fwin = jnp.where((w32_iota == off) & hit,
+                         a0.astype(jnp.int32), win)
+        _flush_rotate(fwin, gb, wp)
+        nbits_ref[0] = tot
+
+    a0s[:] = a0
+    a1s[:] = a1
+    cnts[:] = cnt
+    wps[:] = wp
+    tots[:] = tot
+    wins[:] = win
+    gbs[:] = gb
+    ctxs[:] = sym_ref[CHUNK_STEPS - 1, 0]
+
+
+@partial(jax.jit, static_argnames=("max_len", "interpret", "variant"))
+def pack_blocks_fused_sm(ut: jnp.ndarray, n_valid: jnp.ndarray, tables,
+                         max_len: int = MAX_CODE_LEN,
+                         interpret: bool = False,
+                         variant: str = "i8"):
+    """Fused lookup+pack: (n, B) step-major u8/i32 units + canonical
+    tables -> (words (B, W) u32 zero-padded, bits (B,) u32) — the same
+    contract as lookup_cl_sm_* + pack_blocks_dense, with no cl plane."""
+    from .lookup_pallas import build_cl_planes, build_cl_planes_bf16
+    assert PACK_UNROLL <= PGRP
+    assert (CHUNK_STEPS // 2) % PACK_UNROLL == 0
+    ut = ut.astype(jnp.int32)
+    n, B = ut.shape
+    W_exact = words_for_block(n, max_len)
+    W = -(-W_exact // PGRP) * PGRP
+    n_tiles = (B + LANES - 1) // LANES
+    Rp = n_tiles * LANES
+    n_pad = -(-n // CHUNK_STEPS) * CHUNK_STEPS
+    if n_pad != n or Rp != B:
+        ut = jnp.pad(ut, ((0, n_pad - n), (0, Rp - B)))
+    nv = n_valid.astype(jnp.int32)
+    if Rp != B:
+        nv = jnp.concatenate([nv, jnp.zeros((Rp - B,), jnp.int32)])
+    sym4 = ut.reshape(n_pad, n_tiles, 8, 128)
+    nv4 = nv.reshape(n_tiles, 8, 128)
+    ft = (build_cl_planes_bf16(tables) if variant == "bf16"
+          else build_cl_planes(tables))
+    n_chunks = n_pad // CHUNK_STEPS
+    out, nbits = pl.pallas_call(
+        partial(_fused_kernel, W=W, n_chunks=n_chunks, variant=variant),
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((256, 768), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_STEPS, 1, 8, 128),
+                         lambda t, o: (o, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W, 8, 128), lambda t, o: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, W, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),           # a0
+            pltpu.VMEM((8, 128), jnp.uint32),           # a1
+            pltpu.VMEM((8, 128), jnp.int32),            # cnt
+            pltpu.VMEM((8, 128), jnp.int32),            # wp
+            pltpu.VMEM((8, 128), jnp.int32),            # tot
+            pltpu.VMEM((PWINDOW, 8, 128), jnp.int32),   # window
+            pltpu.VMEM((8, 128), jnp.int32),            # group base
+            pltpu.VMEM((8, 128), jnp.int32),            # boundary ctx
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(3 * W * 8 * 128 * 4, 64 << 20), 120 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(Rp) * n_pad * 768 * 256,
+            bytes_accessed=int(Rp) * n_pad * 4 + int(Rp) * W * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(ft, nv4, sym4)
+    words = jnp.moveaxis(out, 1, 3).reshape(Rp, W).astype(jnp.uint32)
+    nbits_r = nbits.reshape(Rp).astype(jnp.uint32)
+    return words[:B, :W_exact], nbits_r[:B]

@@ -53,21 +53,37 @@ def build_cl_planes(tables) -> jnp.ndarray:
         axis=1).astype(jnp.int8)
 
 
+def build_cl_planes_bf16(tables) -> jnp.ndarray:
+    """(256, 256) codes/lengths -> (256, 768) bf16 plane stack (byte
+    values 0..255 — exact in bf16; one-hot columns have a single 1 so
+    the f32 accumulation is exact)."""
+    codes = jnp.asarray(tables["codes"], jnp.int32)
+    lens = jnp.asarray(tables["lengths"], jnp.int32)
+    cl = (lens << 16) | codes
+    return jnp.concatenate(
+        [(cl >> (8 * k)) & 255 for k in range(3)],
+        axis=1).astype(jnp.bfloat16)
+
+
 def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
-                   *, n_chunks: int, unroll: int = UNROLL):
+                   *, n_chunks: int, unroll: int = UNROLL,
+                   variant: str = "i8"):
     o = pl.program_id(1)
 
     @pl.when(o == 0)
     def _init():
         ctxs[:] = jnp.zeros((8, 128), jnp.int32)
 
-    ft = ft_ref[:]                                    # (256, 768) int8
+    ft = ft_ref[:]                          # (256, 768) int8 or bf16
     nv = nv_ref[0]                                    # (8, 128) int32
     # int32 iota/compare only: this Mosaic target supports neither
     # int8 iota nor sub-32-bit comparisons (probed on-chip)
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
     dn = (((0,), (0,)), ((), ()))
     boundary_ctx = ctxs[:]      # last symbol of the previous chunk
+    oh_dt = jnp.bfloat16 if variant == "bf16" else jnp.int8
+    acc_dt = jnp.float32 if variant == "bf16" else jnp.int32
+    bias = 0 if variant == "bf16" else 128
 
     def body(i, _):
         # The context is just the PREVIOUS symbol, already resident in
@@ -85,18 +101,26 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
                 prev = sym_ref[jnp.maximum(i * unroll - 1, 0), 0]
                 ctx = jnp.where(i == 0, boundary_ctx, prev)
                 ctxw = jnp.broadcast_to(ctx[None], (256, 8, 128))
-                oh = (ctxw == iota).astype(jnp.int8)
+                oh = (ctxw == iota).astype(oh_dt)
             else:
-                oh = sel_prev.astype(jnp.int8)
+                oh = sel_prev.astype(oh_dt)
             x = jax.lax.dot_general(
                 ft, oh, dimension_numbers=dn,
-                preferred_element_type=jnp.int32)     # (768, 8, 128)
+                preferred_element_type=acc_dt)        # (768, 8, 128)
             curw = jnp.broadcast_to(cur[None], (256, 8, 128))
             sel = curw == iota
             sel_prev = sel
-            y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + 128
-            y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + 128
-            y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + 128
+            if variant == "bf16":
+                y0 = jnp.sum(jnp.where(sel, x[0:256], 0.0),
+                             axis=0).astype(jnp.int32)
+                y1 = jnp.sum(jnp.where(sel, x[256:512], 0.0),
+                             axis=0).astype(jnp.int32)
+                y2 = jnp.sum(jnp.where(sel, x[512:768], 0.0),
+                             axis=0).astype(jnp.int32)
+            else:
+                y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + bias
+                y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + bias
+                y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + bias
             cl = y0 | (y1 << 8) | (y2 << 16)
             jg = o * CHUNK_STEPS + j
             out_ref[j, 0] = jnp.where(jg < nv, cl, 0)
@@ -115,10 +139,11 @@ def lookup_cl_t_pallas(units: jnp.ndarray, n_valid: jnp.ndarray,
                                tables, interpret=interpret)
 
 
-@partial(jax.jit, static_argnames=("interpret", "unroll"))
+@partial(jax.jit, static_argnames=("interpret", "unroll", "variant"))
 def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
                         tables, interpret: bool = False,
-                        unroll: int | None = None) -> jnp.ndarray:
+                        unroll: int | None = None,
+                        variant: str = "i8") -> jnp.ndarray:
     """Step-major entry: (n, B) u8/i32 units (already transposed, e.g.
     staged step-major from the host) -> (n, B) packed cl u32."""
     ut = ut.astype(jnp.int32)
@@ -133,11 +158,12 @@ def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
         nv = jnp.concatenate([nv, jnp.zeros((Rp - B,), jnp.int32)])
     sym4 = ut.reshape(n_pad, n_tiles, 8, 128)
     nv4 = nv.reshape(n_tiles, 8, 128)
-    ft = build_cl_planes(tables)
+    ft = (build_cl_planes_bf16(tables) if variant == "bf16"
+          else build_cl_planes(tables))
     n_chunks = n_pad // CHUNK_STEPS
     out = pl.pallas_call(
         partial(_lookup_kernel, n_chunks=n_chunks,
-                unroll=unroll or UNROLL),
+                unroll=unroll or UNROLL, variant=variant),
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((256, 768), lambda t, o: (0, 0),

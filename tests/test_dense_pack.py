@@ -161,3 +161,31 @@ def test_lookup_sm_pallas_interpret_matches():
     got = np.asarray(lookup_pallas.lookup_cl_sm_pallas(
         ut, jnp.asarray(nv), tables, interpret=True))
     assert (ref == got).all()
+
+
+@pytest.mark.parametrize("variant", ["i8", "bf16"])
+def test_fused_lookup_pack_matches_split(variant):
+    """pack_blocks_fused_sm (one Mosaic program, no cl plane) must equal
+    lookup_cl_sm + pack_blocks_dense words-and-bits exactly, including
+    masked tails and the cross-chunk context carry (interpret mode)."""
+    from mhc_tpu import api
+    from mhc_tpu.models.entropy import get_model
+    rng = np.random.default_rng(41)
+    n = encode_pallas.CHUNK_STEPS * 2 + 75   # padding + chunk carry
+    B = encode_pallas.LANES + 5
+    units = rng.integers(0, 96, (B, n), dtype=np.uint8)
+    nv = np.full((B,), n, np.int32)
+    nv[-1] = 33
+    model = get_model("markov")
+    counts = model.histogram(jnp.asarray(units), jnp.asarray(nv),
+                             method="scatter")
+    tables = model.tables_from_lengths(
+        model.lengths_from_counts(np.asarray(counts)))
+    ut = jnp.asarray(np.ascontiguousarray(units.T))
+    cl = api.lookup_cl_sm(ut, jnp.asarray(nv), tables)
+    w_ref, b_ref = encode_pallas.pack_blocks_dense(
+        cl, step_major=True, interpret=True)
+    w_f, b_f = encode_pallas.pack_blocks_fused_sm(
+        ut, jnp.asarray(nv), tables, interpret=True, variant=variant)
+    assert np.array_equal(np.asarray(b_ref), np.asarray(b_f))
+    assert np.array_equal(np.asarray(w_ref), np.asarray(w_f))
