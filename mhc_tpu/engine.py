@@ -59,9 +59,16 @@ class EncodeResult:
     lengths: np.ndarray          # host code-length header (uint8)
     byte_lens: np.ndarray        # host (n_units,) int64 (layout-aware)
     bit_lens: np.ndarray         # host (n_units,) int64
-    payload: list                # per-chunk device payload: u32 (markov,
-                                 # aligned layout) or u8 (order-0)
+    payload: list                # per-chunk device payload (see
+                                 # payload_aligned)
     payload_n: list              # true element count per chunk
+    # True (engine.encode, round 4): payload chunks are u32 word arrays
+    # with every unit stream word-aligned — INDEPENDENT of the container
+    # layout (order-0's unaligned container is produced on the HOST at
+    # assembly; the round-3 engine byte-compacted order-0 on device via
+    # the per-byte searchsorted path at ~10x the cost). False only for
+    # hybrid-staged unaligned container prefixes (u8 byte payload).
+    payload_aligned: bool = True
 
 
 def stage(data: bytes, mode: str = "markov",
@@ -129,8 +136,12 @@ def encode(st: Staged, hist_method: str | None = None,
     tables = model.tables_from_lengths(lengths)
     lengths_host = np.asarray(lengths, dtype=np.uint8)
 
-    aligned = container.aligned_payload(model.mode)
-    fused = pack_method == "pallas" and aligned
+    # The ENGINE payload is ALWAYS word-aligned u32 (round 4) — the
+    # container's unaligned order-0 layout is produced on the host at
+    # assembly time (fetch_payload), never by per-byte device compaction
+    # (~10x the aligned cost; this was the order-0 bench anchor).
+    fused = (pack_method == "pallas"
+             and container.aligned_payload(model.mode))
     # Device-side compaction offsets (round 4): the round-3 path synced
     # per-chunk bit lengths to the host to size/offset the compaction —
     # each sync costs a full relay round-trip (~26 ms measured) AND
@@ -138,7 +149,7 @@ def encode(st: Staged, hist_method: str | None = None,
     # computed on device and a worst-case static pad, the whole encode
     # is ONE dispatch stream with a single final sync. (CPU keeps the
     # host-offset path: its compaction impl wants host sizes.)
-    dev_offs = (aligned and pack_method in ("pallas", "dense", "fused")
+    dev_offs = (pack_method in ("pallas", "dense", "fused")
                 and not fused
                 and jax.default_backend() == "tpu"
                 and os.environ.get("MHC_DEVICE_OFFSETS", "1") != "0")
@@ -203,9 +214,7 @@ def encode(st: Staged, hist_method: str | None = None,
     for k, (words, bits) in enumerate(packed):
         bits_h = np.asarray(bits).astype(np.int64)
         bit_parts.append(bits_h)
-        lens = container.stream_byte_lens(bits_h, model.mode)
-        if aligned:
-            lens = lens // 4
+        lens = (bits_h + 31) // 32          # internal WORD lens per unit
         if fused or dev_offs:
             total = int(lens.sum())
             # the kernel/compaction wrote into a worst-case Rp*W buffer
@@ -220,14 +229,9 @@ def encode(st: Staged, hist_method: str | None = None,
         offsets = np.zeros(len(lens) + 1, np.int32)
         np.cumsum(lens, out=offsets[1:])
         total = int(offsets[-1])
-        gran = (1 << 18) if aligned else (1 << 20)
-        pad = max(-(-total // gran) * gran, gran)
-        if aligned:
-            payload.append(api._compact_words(
-                words, jnp.asarray(offsets), pad))
-        else:
-            payload.append(bitpack.device_compact_payload(
-                words, jnp.asarray(offsets), pad))
+        pad = max(-(-total // (1 << 18)) << 18, 1 << 18)
+        payload.append(api._compact_words(
+            words, jnp.asarray(offsets), pad))
         payload_n.append(total)
     jax.block_until_ready(payload)
     bit_lens = np.concatenate(bit_parts)[: st.n_units]
@@ -253,7 +257,9 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
     fetch_impl = _cfg.fetch_impl()
     refill = _cfg.refill_impl()
     W_worst = bitpack.words_for_block(du)
-    max_wl = -(-int(enc.byte_lens.max()) // 4) if enc.n_units else 0
+    wl_all = ((enc.bit_lens + 31) // 32) if enc.payload_aligned \
+        else -(-enc.byte_lens // 4)
+    max_wl = int(wl_all.max()) if enc.n_units else 0
     W = min(W_worst, max(-(-(max_wl + 1) // 128) * 128, 128))
     if decode_method == "pallas":
         from .ops.kernels import decode_pallas
@@ -263,19 +269,22 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
                 > decode_pallas.VMEM_BUDGET:
             decode_method = "scan"
 
-    aligned = container.aligned_payload(model.mode)
     outs = []
     for k, payload_d in enumerate(enc.payload):
         lo = k * C
         hi = min(lo + C, enc.n_units)
-        bl = api._pad_rows(enc.byte_lens[lo:hi].astype(np.int32), C)
-        lens = bl // 4 if aligned else bl
-        offsets = np.zeros(C + 1, np.int32)
-        np.cumsum(lens, out=offsets[1:])
-        if aligned:
+        if enc.payload_aligned:
+            lens = api._pad_rows(wl_all[lo:hi].astype(np.int32), C)
+            offsets = np.zeros(C + 1, np.int32)
+            np.cumsum(lens, out=offsets[1:])
             words_d = api._expand_words_u32(
                 payload_d, jnp.asarray(offsets), jnp.asarray(lens), W)
         else:
+            # hybrid-staged prefix of an UNALIGNED container: per-byte
+            # expansion of the container's dense byte payload
+            bl = api._pad_rows(enc.byte_lens[lo:hi].astype(np.int32), C)
+            offsets = np.zeros(C + 1, np.int32)
+            np.cumsum(bl, out=offsets[1:])
             words_d = bitpack.device_expand_words(
                 payload_d, jnp.asarray(offsets), jnp.asarray(bl), W)
         if decode_method == "pallas":
@@ -307,12 +316,34 @@ def fetch_bytes(enc: EncodeResult, outs: list) -> bytes:
 
 
 def fetch_payload(enc: EncodeResult) -> bytes:
-    """Dense payload bytes (host). NOT codec time."""
+    """Dense CONTAINER-layout payload bytes (host). NOT codec time.
+
+    The engine payload is word-aligned internally; unaligned-container
+    modes (order-0) are re-packed on the host here — a memoryview slice
+    per unit, the same work the reference does when writing its file."""
+    model = get_model(enc.mode)
+    aligned_container = container.aligned_payload(model.mode)
     parts = []
-    for payload_d, n in zip(enc.payload, enc.payload_n):
+    C = enc.chunk
+    for k, (payload_d, n) in enumerate(zip(enc.payload, enc.payload_n)):
         h = np.asarray(payload_d)[:n]
-        parts.append(h.astype(">u4").tobytes()
-                     if h.dtype == np.uint32 else h.tobytes())
+        if h.dtype != np.uint32:              # hybrid-staged byte payload
+            parts.append(h.tobytes())
+            continue
+        raw = h.astype(">u4").tobytes()
+        if aligned_container or not enc.payload_aligned:
+            parts.append(raw)
+            continue
+        # aligned internal words -> unaligned dense container bytes
+        lo = k * C
+        hi = min(lo + C, enc.n_units)
+        wl = (enc.bit_lens[lo:hi] + 31) // 32
+        bl = (enc.bit_lens[lo:hi] + 7) // 8
+        mv = memoryview(raw)
+        off = 0
+        for w, b in zip(wl, bl):
+            parts.append(mv[4 * off: 4 * off + int(b)])
+            off += int(w)
     return b"".join(parts)
 
 

@@ -165,7 +165,8 @@ def _device_result_from_container(blob: bytes, meta, S: int, du: int,
         mode=model.name, block_size=meta.block_size, decode_unit=du,
         orig_len=min(S * du, meta.orig_len), n_units=S, chunk=C,
         lengths=meta.lengths, byte_lens=byte_lens,
-        bit_lens=byte_lens * 8, payload=payload, payload_n=payload_n)
+        bit_lens=byte_lens * 8, payload=payload, payload_n=payload_n,
+        payload_aligned=aligned)
 
 
 def decompress(blob: bytes, verify: bool = True,
