@@ -63,9 +63,11 @@ FLAG_ENTROPY_INDEX = 32   # unit index entropy-coded
 # per ~3 KB unit stream (~0.06%) and makes payload compaction/expansion
 # on TPU a pure word gather — no per-byte searchsorted/shift (the round-1
 # device compaction was 23x slower than the rest of the encode combined).
-# Markov-only: order-0 decodes via the scan path (its 16 KB units exceed
-# the Pallas VMEM budget) and its size margin vs the oracle on 1 MB text
-# is ~40 bytes — alignment would tip it over BASELINE's "size <= ref".
+# Markov-only: order-0's size margin vs the oracle on 1 MB text is
+# ~40 bytes — aligning its streams would tip it over BASELINE's
+# "size <= ref". The ENGINE still computes with word-aligned streams
+# internally for every mode (round 4); the unaligned container layout
+# is produced on the host at assembly (engine.fetch_payload).
 FLAG_ALIGNED_PAYLOAD = 64
 
 
