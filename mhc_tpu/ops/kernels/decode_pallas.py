@@ -53,8 +53,15 @@ OUT_CHUNK = 512       # symbols per output DMA chunk (multiple of 4)
 # iterations (a lane consumes at most one word per iteration, so the
 # window always covers the next GRP reads), and serves each refill word
 # from the window with a cheap two-level select.
-GRP = 32              # aligned fetch group (words); sync period (words)
-LOG2GRP = 5
+#
+# GRP trades window-pick depth (2*GRP-deep masked sum PER REFILL)
+# against window_fill frequency (W/GRP slab selects per sync).
+# Import-time env knob MHC_DECODE_GRP for on-chip A/B (a smaller group
+# shrinks the per-refill pick; measured round 4 — see RESULTS.md).
+import os as _os
+GRP = int(_os.environ.get("MHC_DECODE_GRP", "32"))
+assert GRP & (GRP - 1) == 0 and GRP >= 8
+LOG2GRP = GRP.bit_length() - 1
 WINDOW = 2 * GRP      # per-lane lookahead (current + next group)
 
 # Symbols decoded per fori_loop iteration. The Mosaic loop costs ~6.5 us
