@@ -135,6 +135,12 @@ def main() -> int:
           refill="group", raw_out=True, chains=4)
     timed("mxu6_chains2_full", markov=True, fetch_impl="mxu6",
           refill="group", raw_out=False, chains=2)
+    timed("mxu4_oc1024_raw", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, out_chunk=1024)
+    timed("mxu4_oc2048_raw", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, out_chunk=2048)
+    timed("mxu4_u4_raw", markov=True, fetch_impl="mxu4",
+          refill="group", raw_out=True, unroll=4)
     print(json.dumps(res), flush=True)
     return 0
 

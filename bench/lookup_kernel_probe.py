@@ -92,6 +92,16 @@ def main() -> int:
                    lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
                                                      unroll=u,
                                                      variant="bf16"))
+    for u in (4, 8):
+        bench_pair(f"pallas_w3_u{u}", lambda x, u=u:
+                   lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
+                                                     unroll=u,
+                                                     variant="w3"))
+    c = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables,
+                                                     variant="w3"))
+    a0 = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables))
+    res["w3_exact"] = bool((a0 == c).all())
+    print(f"[lkp] w3 exact: {res['w3_exact']}", flush=True)
     # exactness: bf16 variant vs int8 on real data
     a = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables))
     b = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables,

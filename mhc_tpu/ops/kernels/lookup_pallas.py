@@ -65,6 +65,22 @@ def build_cl_planes_bf16(tables) -> jnp.ndarray:
         axis=1).astype(jnp.bfloat16)
 
 
+def build_cl_planes_w3(tables) -> jnp.ndarray:
+    """(256, 256) codes/lengths -> (768, 256) bf16 WEIGHTED plane stack
+    for the w3 variant: rows [0:256) hold byte plane 0 indexed by ctx,
+    [256:512) plane 1, [512:768) plane 2. The moving operand stacks
+    [oh, 256*oh, 65536*oh] on the contraction axis, so the MXU output
+    IS the full packed cl value: p0 + 256*p1 + 65536*p2 <= 2^19 — every
+    product and the 3-addend sum are f32-exact (operand bytes <= 255
+    are bf16-exact; the weights are powers of two)."""
+    codes = jnp.asarray(tables["codes"], jnp.int32)
+    lens = jnp.asarray(tables["lengths"], jnp.int32)
+    cl = (lens << 16) | codes
+    return jnp.concatenate(
+        [(cl >> (8 * k)) & 255 for k in range(3)],
+        axis=0).astype(jnp.bfloat16)          # (768, 256)
+
+
 def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
                    *, n_chunks: int, unroll: int = UNROLL,
                    variant: str = "i8"):
@@ -81,9 +97,9 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
     dn = (((0,), (0,)), ((), ()))
     boundary_ctx = ctxs[:]      # last symbol of the previous chunk
-    oh_dt = jnp.bfloat16 if variant == "bf16" else jnp.int8
-    acc_dt = jnp.float32 if variant == "bf16" else jnp.int32
-    bias = 0 if variant == "bf16" else 128
+    oh_dt = jnp.bfloat16 if variant in ("bf16", "w3") else jnp.int8
+    acc_dt = jnp.float32 if variant in ("bf16", "w3") else jnp.int32
+    bias = 0 if variant in ("bf16", "w3") else 128
 
     def body(i, _):
         # The context is just the PREVIOUS symbol, already resident in
@@ -104,24 +120,39 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
                 oh = (ctxw == iota).astype(oh_dt)
             else:
                 oh = sel_prev.astype(oh_dt)
-            x = jax.lax.dot_general(
-                ft, oh, dimension_numbers=dn,
-                preferred_element_type=acc_dt)        # (768, 8, 128)
+            if variant == "w3":
+                # weighted stacked one-hot: the contraction itself
+                # assembles cl = p0 + 256*p1 + 65536*p2 (f32-exact, see
+                # build_cl_planes_w3) -> ONE 256-deep pick instead of 3
+                ohw = jnp.concatenate(
+                    [oh, oh * jnp.bfloat16(256.0),
+                     oh * jnp.bfloat16(65536.0)], axis=0)
+                x = jax.lax.dot_general(
+                    ft, ohw, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)  # (256, 8, 128)
+            else:
+                x = jax.lax.dot_general(
+                    ft, oh, dimension_numbers=dn,
+                    preferred_element_type=acc_dt)       # (768, 8, 128)
             curw = jnp.broadcast_to(cur[None], (256, 8, 128))
             sel = curw == iota
             sel_prev = sel
-            if variant == "bf16":
+            if variant == "w3":
+                cl = jnp.sum(jnp.where(sel, x, 0.0),
+                             axis=0).astype(jnp.int32)
+            elif variant == "bf16":
                 y0 = jnp.sum(jnp.where(sel, x[0:256], 0.0),
                              axis=0).astype(jnp.int32)
                 y1 = jnp.sum(jnp.where(sel, x[256:512], 0.0),
                              axis=0).astype(jnp.int32)
                 y2 = jnp.sum(jnp.where(sel, x[512:768], 0.0),
                              axis=0).astype(jnp.int32)
+                cl = y0 | (y1 << 8) | (y2 << 16)
             else:
                 y0 = jnp.sum(jnp.where(sel, x[0:256], 0), axis=0) + bias
                 y1 = jnp.sum(jnp.where(sel, x[256:512], 0), axis=0) + bias
                 y2 = jnp.sum(jnp.where(sel, x[512:768], 0), axis=0) + bias
-            cl = y0 | (y1 << 8) | (y2 << 16)
+                cl = y0 | (y1 << 8) | (y2 << 16)
             jg = o * CHUNK_STEPS + j
             out_ref[j, 0] = jnp.where(jg < nv, cl, 0)
         return 0
@@ -158,15 +189,16 @@ def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
         nv = jnp.concatenate([nv, jnp.zeros((Rp - B,), jnp.int32)])
     sym4 = ut.reshape(n_pad, n_tiles, 8, 128)
     nv4 = nv.reshape(n_tiles, 8, 128)
-    ft = (build_cl_planes_bf16(tables) if variant == "bf16"
-          else build_cl_planes(tables))
+    ft = {"bf16": build_cl_planes_bf16,
+          "w3": build_cl_planes_w3}.get(
+        variant, build_cl_planes)(tables)
     n_chunks = n_pad // CHUNK_STEPS
     out = pl.pallas_call(
         partial(_lookup_kernel, n_chunks=n_chunks,
                 unroll=unroll or UNROLL, variant=variant),
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((256, 768), lambda t, o: (0, 0),
+            pl.BlockSpec(tuple(ft.shape), lambda t, o: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
                          memory_space=pltpu.VMEM),
