@@ -107,18 +107,15 @@ def lookup_cl_t(units, n_valid, tables):
     """lookup_cl in STEP-MAJOR (n, B) layout: the units transpose
     happens on the 1-byte input instead of the 4-byte cl plane, and the
     pack kernel reads the result directly via its BlockSpec (no
-    moveaxis relayout of the operand — that cost ~2 ns/byte)."""
+    moveaxis relayout of the operand — that cost ~2 ns/byte).
+
+    One body with lookup_cl_sm (delegation): the step-major staging
+    relies on the two forms being bit-identical.
+    """
     # cast BEFORE transposing: u8 relayouts are pathologically slow on
     # TPU (sublane shuffles per nibble); the i32 transpose uses the
     # fast path
-    ut = units.astype(jnp.int32).T               # (n, B)
-    n, B = ut.shape
-    prev = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.int32), ut[:-1]], axis=0)
-    cl = bitpack._gather_packed(
-        tables["codes"], tables["lengths"], prev, ut)
-    valid = jnp.arange(n)[:, None] < n_valid[None, :]
-    return jnp.where(valid, cl, jnp.uint32(0))
+    return lookup_cl_sm(units.astype(jnp.int32).T, n_valid, tables)
 
 
 def lookup_cl_t_auto(units, n_valid, tables):
@@ -183,13 +180,19 @@ def _is_kernel_compile_error(e: Exception) -> bool:
     relay failures behind a silent recompute)."""
     msg = f"{type(e).__name__}: {e}"
     needles = ("Mosaic", "mosaic", "compil", "RESOURCE_EXHAUSTED",
-               "vmem", "VMEM", "Internal TPU kernel")
+               "vmem", "VMEM", "Internal TPU kernel", "Not implemented",
+               "NotImplemented", "Unsupported", "HTTP 500",
+               "remote_compile")
     return any(n in msg for n in needles)
 
 
 def _hist_with_fallback(model, devs, hist_method: str):
     """Accumulate the histogram over (units, n_valid) device chunks with
     the guarded Mosaic->matmul fallback shared by api and engine."""
+    # materialize: callers may pass a one-shot iterator (zip), and the
+    # fallback loop must see EVERY chunk again (round-4 review: a
+    # consumed iterator silently dropped chunk 0 from the retry counts)
+    devs = list(devs)
     counts = None
     try:
         for ud, nvd in devs:

@@ -20,7 +20,12 @@ Knob catalog (see CLAUDE.md):
   MHC_EXPAND_IMPL    slices | gather | blocks
   MHC_LANE_TILES     int cap on decode lane tiling (1/2/4)
   MHC_DECODE_CHAINS  interleaved lane-slice chains in the decode kernel
+  MHC_DECODE_GRP     decode refill group words, 8..128 pow2 (IMPORT-time
+                     knob in ops/kernels/decode_pallas.py — the only
+                     exception to resolve-here; it sizes module consts)
   MHC_COMPACT_IMPL   slices | gather | blocks  (payload compaction)
+  MHC_STAGE_SM       0 disables step-major host staging (api/engine)
+  MHC_DEVICE_OFFSETS 0 disables device-side compaction offsets (engine)
 """
 
 from __future__ import annotations

@@ -60,7 +60,10 @@ OUT_CHUNK = 512       # symbols per output DMA chunk (multiple of 4)
 # shrinks the per-refill pick; measured round 4 — see RESULTS.md).
 import os as _os
 GRP = int(_os.environ.get("MHC_DECODE_GRP", "32"))
-assert GRP & (GRP - 1) == 0 and GRP >= 8
+# GRP must divide every padded stream width W (a 128-multiple), so the
+# legal range is 8..128; larger values would leave _window_fill's tail
+# groups unmapped and decode garbage (round-4 review).
+assert GRP & (GRP - 1) == 0 and 8 <= GRP <= 128, GRP
 LOG2GRP = GRP.bit_length() - 1
 WINDOW = 2 * GRP      # per-lane lookahead (current + next group)
 
@@ -717,7 +720,11 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     ochunk = out_chunk or OUT_CHUNK
     from ... import config as _cfg0
     U = unroll or _cfg0.unroll()
-    U = min(U, ochunk)
+    # a lane may consume U/2 window words per iteration and the window
+    # re-syncs at most once per iteration — cap U so it can't overrun
+    # the 2*GRP lookahead (round-4 review: GRP=8 + MHC_UNROLL=32 would
+    # silently read past the window)
+    U = min(U, ochunk, 2 * GRP)
     if ochunk % U or U % 4:
         U = 4                    # ochunk % 4 == 0 always divides
     assert ochunk % 4 == 0 and U % 4 == 0 and ochunk % U == 0

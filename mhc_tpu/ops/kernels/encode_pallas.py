@@ -138,6 +138,30 @@ PLOG2 = 4
 PWINDOW = 2 * PGRP   # per-lane window: current + next group
 
 
+def _window_flush_rotate(out_ref, win, gb, wp, W: int):
+    """Write both window halves into the output stack and advance the
+    window base to the lane's current group. Idempotent: slots past a
+    lane's wp are zeros in the window and zeros in the (zero-init)
+    output, so partial groups may be flushed many times. Shared by the
+    dense and fused pack kernels — their word/bit outputs must stay
+    bit-identical (tested)."""
+    gbw = jnp.broadcast_to(gb[None], (PGRP, 8, 128))
+    win0 = win[:PGRP]
+    win1 = win[PGRP:]
+    for g in range(W // PGRP):
+        slab = out_ref[0, g * PGRP:(g + 1) * PGRP]
+        slab = jnp.where(gbw == g, win0, slab)
+        if g > 0:
+            slab = jnp.where(gbw == g - 1, win1, slab)
+        out_ref[0, g * PGRP:(g + 1) * PGRP] = slab
+    g0 = wp >> PLOG2
+    moved = jnp.broadcast_to((g0 > gb)[None], (PGRP, 8, 128))
+    new_win = jnp.concatenate(
+        [jnp.where(moved, win1, win0),
+         jnp.where(moved, jnp.int32(0), win1)], axis=0)
+    return new_win, g0
+
+
 def _pack_dense_kernel(cl_ref, out_ref, nbits_ref,
                        a0s, a1s, cnts, wps, tots, wins, gbs,
                        *, W: int, n_chunks: int,
@@ -162,25 +186,7 @@ def _pack_dense_kernel(cl_ref, out_ref, nbits_ref,
     w32_iota = jax.lax.broadcasted_iota(jnp.int32, (PWINDOW, 8, 128), 0)
 
     def _flush_rotate(win, gb, wp):
-        """Write both window halves into the output stack and advance the
-        window base to the lane's current group. Idempotent: slots past a
-        lane's wp are zeros in the window and zeros in the (zero-init)
-        output, so partial groups may be flushed many times."""
-        gbw = jnp.broadcast_to(gb[None], (PGRP, 8, 128))
-        win0 = win[:PGRP]
-        win1 = win[PGRP:]
-        for g in range(W // PGRP):
-            slab = out_ref[0, g * PGRP:(g + 1) * PGRP]
-            slab = jnp.where(gbw == g, win0, slab)
-            if g > 0:
-                slab = jnp.where(gbw == g - 1, win1, slab)
-            out_ref[0, g * PGRP:(g + 1) * PGRP] = slab
-        g0 = wp >> PLOG2
-        moved = jnp.broadcast_to((g0 > gb)[None], (PGRP, 8, 128))
-        new_win = jnp.concatenate(
-            [jnp.where(moved, win1, win0),
-             jnp.where(moved, jnp.int32(0), win1)], axis=0)
-        return new_win, g0
+        return _window_flush_rotate(out_ref, win, gb, wp, W)
 
     def body(i, carry):
         a0, a1, cnt, wp, tot, win, gb = carry
@@ -564,21 +570,9 @@ def _fused_kernel(ft_ref, nv_ref, sym_ref, out_ref, nbits_ref,
     w32_iota = jax.lax.broadcasted_iota(jnp.int32, (PWINDOW, 8, 128), 0)
 
     def _flush_rotate(win, gb, wp):
-        gbw = jnp.broadcast_to(gb[None], (PGRP, 8, 128))
-        win0 = win[:PGRP]
-        win1 = win[PGRP:]
-        for g in range(W // PGRP):
-            slab = out_ref[0, g * PGRP:(g + 1) * PGRP]
-            slab = jnp.where(gbw == g, win0, slab)
-            if g > 0:
-                slab = jnp.where(gbw == g - 1, win1, slab)
-            out_ref[0, g * PGRP:(g + 1) * PGRP] = slab
-        g0 = wp >> PLOG2
-        moved = jnp.broadcast_to((g0 > gb)[None], (PGRP, 8, 128))
-        new_win = jnp.concatenate(
-            [jnp.where(moved, win1, win0),
-             jnp.where(moved, jnp.int32(0), win1)], axis=0)
-        return new_win, g0
+        # shared machinery with _pack_dense_kernel: the fused kernel's
+        # contract is word/bit identity with the dense packer
+        return _window_flush_rotate(out_ref, win, gb, wp, W)
 
     def _lookup_one(oh, cur, jg):
         """One (code, len) fetch; returns (code u32, len i32, cur sel)."""

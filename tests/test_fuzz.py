@@ -87,12 +87,19 @@ def test_fuzz_roundtrip_differential(iteration):
     blob2 = api.compress(data, mode=mode, block_size=block_size,
                          decode_unit=decode_unit, pack_method="scatter")
     assert blob2 == blob, ctx
-    # corrupt-input rejection: flip one random payload byte -> clean error
+    # corrupt-input rejection: flip the FIRST byte of a random nonempty
+    # unit stream -> clean error. (A fully random position can land in
+    # per-unit alignment slack — up to 3 pad bytes + 31 unused bits in
+    # the aligned layout — where the flip decodes identically; the first
+    # byte holds the unit's first code bits, so any flip changes the
+    # decoded prefix.)
     meta = container.parse_container(blob)
-    if meta.byte_lengths.size and int(meta.byte_lengths.sum()) > 0:
+    bl = meta.byte_lengths.astype(np.int64)
+    nonempty = np.nonzero(bl > 0)[0]
+    if nonempty.size:
+        r = int(nonempty[rng.integers(nonempty.size)])
         bad = bytearray(blob)
-        pos = meta.payload_off + int(
-            rng.integers(int(meta.byte_lengths.sum())))
+        pos = meta.payload_off + int(bl[:r].sum())
         bad[pos] ^= 1 + int(rng.integers(255))
         try:
             out = api.decompress(bytes(bad))
