@@ -139,7 +139,8 @@ def test_lookup_pallas_bit_exact(corpus16):
     """MHC_LOOKUP=pallas (VMEM int8 MXU row-fetch) must compile on the
     real chip at the shipped chunk shape and return the packed cl plane
     bit-identical to the XLA gather (VERDICT r3: the kernel had no
-    on-chip gate before becoming a default candidate)."""
+    on-chip gate before becoming a default candidate). The bf16 and w3
+    variants (selectable, round 4) are gated against the same plane."""
     import jax.numpy as jnp
     from mhc_tpu import api
     from mhc_tpu.models.entropy import get_model
@@ -155,6 +156,29 @@ def test_lookup_pallas_bit_exact(corpus16):
     ref = np.asarray(api.lookup_cl_t(ud, nvd, tables))
     got = np.asarray(lookup_pallas.lookup_cl_t_pallas(ud, nvd, tables))
     assert (ref == got).all()
+    ut = jnp.asarray(np.ascontiguousarray(units.T))
+    for variant in ("bf16", "w3"):
+        got_v = np.asarray(lookup_pallas.lookup_cl_sm_pallas(
+            ut, nvd, tables, variant=variant))
+        assert (ref == got_v).all(), variant
+
+
+def test_fused_pack_container_identity(corpus16):
+    """MHC_PACK_METHOD=fused (one-program lookup+pack megakernel,
+    round-4 non-default) must produce containers byte-identical to the
+    default split pipeline on the real chip."""
+    from mhc_tpu import api
+    data = corpus16[: 8 << 20]
+    ref = api.compress(data, mode="markov")
+    old = os.environ.pop("MHC_PACK_METHOD", None)
+    try:
+        os.environ["MHC_PACK_METHOD"] = "fused"
+        assert api.compress(data, mode="markov") == ref
+    finally:
+        os.environ.pop("MHC_PACK_METHOD", None)
+        if old is not None:
+            os.environ["MHC_PACK_METHOD"] = old
+    assert api.decompress(ref) == data
 
 
 def test_sharded_pipeline_on_chip(corpus16):
