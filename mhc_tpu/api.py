@@ -179,8 +179,12 @@ def _is_kernel_compile_error(e: Exception) -> bool:
     (ADVICE r3: a bare `except Exception` also hid shape bugs, OOMs and
     relay failures behind a silent recompute)."""
     msg = f"{type(e).__name__}: {e}"
-    needles = ("Mosaic", "mosaic", "compil", "RESOURCE_EXHAUSTED",
-               "vmem", "VMEM", "Internal TPU kernel", "Not implemented",
+    # Compile-time signatures only (ADVICE r4: RESOURCE_EXHAUSTED and a
+    # bare "vmem" also match genuine runtime HBM OOMs, which must NOT be
+    # silently retried as a recompute). Mosaic scoped-vmem compile
+    # failures mention "Mosaic"/"scoped vmem"/"compil" on this toolchain.
+    needles = ("Mosaic", "mosaic", "compil", "scoped vmem",
+               "Internal TPU kernel", "Not implemented",
                "NotImplemented", "Unsupported", "HTTP 500",
                "remote_compile")
     return any(n in msg for n in needles)

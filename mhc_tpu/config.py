@@ -12,7 +12,7 @@ Knob catalog (see CLAUDE.md):
   MHC_DECODE_METHOD  scan | pallas
   MHC_FETCH_IMPL     chunk | mxu | mxu2..mxu6 | sparse | slab
   MHC_REFILL         group | scan      (Pallas decode word refill)
-  MHC_PACK_METHOD    dense | pallas | merge | scatter
+  MHC_PACK_METHOD    dense | pallas | merge | scatter | fused
   MHC_LOOKUP         gather | mxu | pallas  (pallas = VMEM int8 MXU
                      row-fetch kernel, ops/kernels/lookup_pallas.py)
   MHC_HIST_METHOD    pallas | matmul | scatter
@@ -58,10 +58,12 @@ def refill_impl() -> str:
 
 
 def pack_method() -> str:
+    # dense | pallas | merge | scatter | fused.
     # dense: in-kernel word-stream assembly (reverse group window) —
     # 2.1x the bubble+scatter pack on v5e and removes the compaction
     # scatter entirely (48 vs 102 ms kernel at 32 MB, round 3).
-    # fused: lookup+pack in ONE Mosaic program (no cl plane, round 4).
+    # fused: lookup+pack in ONE Mosaic program (no cl plane, round 4 —
+    # measured ~5% slower than the split pipeline, kept selectable).
     # pallas = bubble-stream legacy, merge/scatter = XLA packers.
     return os.environ.get("MHC_PACK_METHOD") or (
         "dense" if _tpu() else "merge")

@@ -47,6 +47,17 @@ class Staged:
     # CPU / when MHC_STAGE_SM=0.
     units_sm: list | None = None
 
+    def release_unit_major(self) -> None:
+        """Drop the unit-major HBM copies to halve the staged footprint.
+        Only the step-major copies carry the TPU lookup+pack path, but
+        the HISTOGRAM reads unit-major — after releasing, further
+        encode() calls on this Staged must pass precomputed `lengths`
+        (histogram() raises a clear error otherwise)."""
+        if self.units_sm is not None:
+            for u in self.units:
+                u.delete()
+            self.units = [None] * len(self.units_sm)
+
 
 @dataclass
 class EncodeResult:
@@ -75,8 +86,17 @@ def stage(data: bytes, mode: str = "markov",
           block_size: int = api.DEFAULT_BLOCK_SIZE,
           decode_unit: int | None = None,
           chunk_units: int | None = None) -> Staged:
-    """Blockify + transfer the input into HBM. NOT part of codec time —
-    mirrors the oracle's input already sitting in RAM."""
+    """Blockify + transfer the input into HBM. NOT part of codec time.
+
+    Staging includes a host-side step-major relayout (units.T) on TPU so
+    the encode path never pays the slow device transpose. That relayout
+    is O(N) DERIVED work the single-threaded oracle performs inside its
+    timed encode — so the device-resident encode rate measured on a
+    Staged batch EXCLUDES one input-sized host pass that the oracle's
+    number includes (stated in RESULTS.md; the e2e numbers include it).
+    Staging also pins ~2x the input in HBM for the life of the Staged —
+    call release_unit_major() after the last histogram/encode that needs
+    the unit-major copies to drop back to 1x."""
     import os
     model = get_model(mode)
     du = api.resolve_decode_unit(block_size, decode_unit, model.markov)
@@ -104,6 +124,11 @@ def histogram(st: Staged, hist_method: str | None = None) -> np.ndarray:
     """Device histogram over the staged units, fetched to host (int64)."""
     model = get_model(st.mode)
     hist_method = hist_method or api._default_hist_method()
+    if st.units and st.units[0] is None:
+        raise ValueError(
+            "histogram() needs the unit-major staged copies, but "
+            "release_unit_major() dropped them; re-stage or pass "
+            "precomputed lengths to encode()")
     # guarded Mosaic->matmul compile-failure fallback shared with
     # api.compress (ADVICE r3: the bare Exception catch hid real errors)
     counts = api._hist_with_fallback(

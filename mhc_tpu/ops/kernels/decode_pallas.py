@@ -769,6 +769,18 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     # variant) is not in the estimate — observed 48.3 MB at W=1280
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=min(max(est + (est >> 1), 64 << 20), 120 << 20))
+    # The kernel silently degrades chains -> 1 when its preconditions
+    # fail; surface that here where the full config is known, so an A/B
+    # sweep can't record a chains=2 label for a chains=1 run (ADVICE r4)
+    if chains > 1 and ((128 * lt) % (128 * chains) != 0
+                       or refill not in ("group", "scan")
+                       or (markov and fetch_impl not in ("mxu4", "mxu6"))):
+        import warnings
+        warnings.warn(
+            f"mhc: MHC_DECODE_CHAINS={chains} ignored (lanes={128 * lt}, "
+            f"refill={refill}, fetch_impl={fetch_impl} do not support "
+            "chained lane slices); running chains=1",
+            RuntimeWarning, stacklevel=2)
     ft = build_fetch_table(lim, base, first_code, sorted_syms)
 
     if Rp != R or W != W_in:
