@@ -97,6 +97,23 @@ def main() -> int:
                    lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
                                                      unroll=u,
                                                      variant="w3"))
+    for u in (4, 8, 16):
+        bench_pair(f"pallas_rank_u{u}", lambda x, u=u:
+                   lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
+                                                     unroll=u,
+                                                     variant="rank"))
+    for u in (8, 16):
+        bench_pair(f"pallas_rankbf_u{u}", lambda x, u=u:
+                   lookup_pallas.lookup_cl_sm_pallas(x, nvd, tables,
+                                                     unroll=u,
+                                                     variant="rankbf"))
+    for v in ("rank", "rankbf"):
+        a0 = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd,
+                                                          tables))
+        cv = np.asarray(lookup_pallas.lookup_cl_sm_pallas(
+            ut, nvd, tables, variant=v))
+        res[f"{v}_exact"] = bool((a0 == cv).all())
+        print(f"[lkp] {v} exact: {res[f'{v}_exact']}", flush=True)
     c = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables,
                                                      variant="w3"))
     a0 = np.asarray(lookup_pallas.lookup_cl_sm_pallas(ut, nvd, tables))

@@ -125,7 +125,8 @@ def lookup_cl_t_auto(units, n_valid, tables):
     if _cfg.lookup_method() == "pallas" \
             and jax.default_backend() == "tpu":
         from .ops.kernels import lookup_pallas
-        return lookup_pallas.lookup_cl_t_pallas(units, n_valid, tables)
+        return lookup_pallas.lookup_cl_t_pallas(
+            units, n_valid, tables, variant=_cfg.lookup_variant())
     return lookup_cl_t(units, n_valid, tables)
 
 
@@ -152,7 +153,8 @@ def lookup_cl_sm_auto(ut, n_valid, tables):
     if _cfg.lookup_method() == "pallas" \
             and jax.default_backend() == "tpu":
         from .ops.kernels import lookup_pallas
-        return lookup_pallas.lookup_cl_sm_pallas(ut, n_valid, tables)
+        return lookup_pallas.lookup_cl_sm_pallas(
+            ut, n_valid, tables, variant=_cfg.lookup_variant())
     return lookup_cl_sm(ut, n_valid, tables)
 
 

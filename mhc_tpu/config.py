@@ -80,6 +80,19 @@ def lookup_method() -> str:
         "pallas" if _tpu() else "gather")
 
 
+def lookup_variant() -> str:
+    # Pallas lookup kernel table build:
+    #   i8 / bf16 — direct (256, 768) cl plane stack, three 256-deep
+    #     cur picks (round 4; i8 68.2 ms vs bf16 68.6 at 16 MB);
+    #   w3 — weighted single-pick fold (75.8 ms, kept selectable);
+    #   rank / rankbf — (256, 316) rank-table stack (round 5): 2.4x
+    #     fewer MXU MACs, one 256-deep pick + in-register len/code.
+    # rankbf default: 38.0 ms marginal per 16 MB on v5e vs i8's 67.0
+    # (1.76x; bench/lookup_kernel_probe.py round 5), chip-exact vs the
+    # XLA gather plane (tests/test_tpu_chip.py).
+    return os.environ.get("MHC_LOOKUP_VARIANT", "rankbf")
+
+
 def hist_method() -> str:
     # pallas v3 (VMEM int8 one-hot + MXU): 1.25x the XLA matmul on v5e
     # (139 vs 174 ms at 32 MB markov, round 3) and no HBM one-hot

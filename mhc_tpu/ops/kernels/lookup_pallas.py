@@ -81,6 +81,61 @@ def build_cl_planes_w3(tables) -> jnp.ndarray:
         axis=0).astype(jnp.bfloat16)          # (768, 256)
 
 
+def _rank_pair_cols(tables):
+    """(cum, fcb) pair columns for the rank-table variants.
+
+    cum[ctx][l] (l = 1..15) = #symbols with 1 <= length <= l = base[l+1]
+    (cum[15] = nsym via base[15] + bl_count[15]); fcb[ctx][l] =
+    first_code[l] - cum[l-1] + 256 = first_code[l] - base[l] + 256, so
+    the kernel's code = fcb[len] + rank - 256 equals the canonical
+    first_code[len] + rank_within. fcb range [256, 33023] fits u16."""
+    base = jnp.asarray(tables["base"], jnp.int32)          # (256, 16)
+    fc = jnp.asarray(tables["first_code"], jnp.int32)
+    lens = jnp.asarray(tables["lengths"], jnp.int32)
+    nsym = (lens > 0).astype(jnp.int32).sum(axis=-1)
+    cum = jnp.concatenate([base[:, 2:16], nsym[:, None]], axis=1)
+    fcb = fc[:, 1:16] - base[:, 1:16] + 256
+    return cum, fcb
+
+
+def _rank_plane(tables):
+    """(256, 256) canonical rank bytes: rank = base[len] + code -
+    first_code[len] (the index in the sorted-by-(length, symbol) order);
+    0 for absent symbols (never drawn by valid data)."""
+    lens = jnp.asarray(tables["lengths"], jnp.int32)
+    codes = jnp.asarray(tables["codes"], jnp.int32)
+    base = jnp.asarray(tables["base"], jnp.int32)
+    fc = jnp.asarray(tables["first_code"], jnp.int32)
+    lcl = jnp.clip(lens, 0, 15)
+    rank = (jnp.take_along_axis(base, lcl, axis=-1) + codes
+            - jnp.take_along_axis(fc, lcl, axis=-1))
+    return jnp.where(lens > 0, rank, 0)
+
+
+def build_cl_planes_rank(tables) -> jnp.ndarray:
+    """(256, 316) biased int8 RANK-table stack (round 5): cols 0..255 =
+    canonical rank[ctx][cur] (1 byte), cols 256..315 = (cum, fcb) pair
+    planes [cum_lo, cum_hi, fcb_lo, fcb_hi] x 15 lengths. The kernel
+    recomputes len from 14 rank-vs-cum compares and code = fcb[len] +
+    rank - 256, so the fetch contracts 316 rows instead of the direct
+    table's 768 (2.4x fewer MXU MACs) and the 256-deep cur pick touches
+    ONE plane instead of three."""
+    cum, fcb = _rank_pair_cols(tables)
+    rank = _rank_plane(tables)
+    ft = jnp.concatenate(
+        [rank, cum & 255, cum >> 8, fcb & 255, fcb >> 8], axis=1)
+    return (ft - 128).astype(jnp.int8)
+
+
+def build_cl_planes_rankbf(tables) -> jnp.ndarray:
+    """bf16 build of the rank-table stack (byte values 0..255 exact)."""
+    cum, fcb = _rank_pair_cols(tables)
+    rank = _rank_plane(tables)
+    ft = jnp.concatenate(
+        [rank, cum & 255, cum >> 8, fcb & 255, fcb >> 8], axis=1)
+    return ft.astype(jnp.bfloat16)
+
+
 def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
                    *, n_chunks: int, unroll: int = UNROLL,
                    variant: str = "i8"):
@@ -90,16 +145,18 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
     def _init():
         ctxs[:] = jnp.zeros((8, 128), jnp.int32)
 
-    ft = ft_ref[:]                          # (256, 768) int8 or bf16
+    ft = ft_ref[:]                  # (256, 768|316) int8 or bf16
     nv = nv_ref[0]                                    # (8, 128) int32
     # int32 iota/compare only: this Mosaic target supports neither
     # int8 iota nor sub-32-bit comparisons (probed on-chip)
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (15, 8, 128), 0) + 1
     dn = (((0,), (0,)), ((), ()))
     boundary_ctx = ctxs[:]      # last symbol of the previous chunk
-    oh_dt = jnp.bfloat16 if variant in ("bf16", "w3") else jnp.int8
-    acc_dt = jnp.float32 if variant in ("bf16", "w3") else jnp.int32
-    bias = 0 if variant in ("bf16", "w3") else 128
+    bf_variants = ("bf16", "w3", "rankbf")
+    oh_dt = jnp.bfloat16 if variant in bf_variants else jnp.int8
+    acc_dt = jnp.float32 if variant in bf_variants else jnp.int32
+    bias = 0 if variant in bf_variants else 128
 
     def body(i, _):
         # The context is just the PREVIOUS symbol, already resident in
@@ -137,7 +194,28 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
             curw = jnp.broadcast_to(cur[None], (256, 8, 128))
             sel = curw == iota
             sel_prev = sel
-            if variant == "w3":
+            if variant in ("rank", "rankbf"):
+                # rank-table resolve (round 5): ONE 256-deep pick (the
+                # rank byte), then len from 14 rank-vs-cum compares and
+                # code = fcb[len] + rank - 256 — see build_cl_planes_rank
+                if variant == "rankbf":
+                    rankv = jnp.sum(jnp.where(sel, x[0:256], 0.0),
+                                    axis=0).astype(jnp.int32)
+                    pr = x[256:316].astype(jnp.int32)   # (60, 8, 128)
+                else:
+                    rankv = jnp.sum(jnp.where(sel, x[0:256], 0),
+                                    axis=0) + bias
+                    pr = x[256:316] + bias
+                cum = pr[0:14] | (pr[15:29] << 8)       # l = 1..14
+                rw = jnp.broadcast_to(rankv[None], cum.shape)
+                length = 1 + jnp.sum((rw >= cum).astype(jnp.int32),
+                                     axis=0)
+                fcb_rows = pr[30:45] | (pr[45:60] << 8)  # l = 1..15
+                lw = jnp.broadcast_to(length[None], fcb_rows.shape)
+                fcb = jnp.sum(jnp.where(liota == lw, fcb_rows, 0),
+                              axis=0)
+                cl = (length << 16) | (fcb + rankv - 256)
+            elif variant == "w3":
                 cl = jnp.sum(jnp.where(sel, x, 0.0),
                              axis=0).astype(jnp.int32)
             elif variant == "bf16":
@@ -161,13 +239,15 @@ def _lookup_kernel(ft_ref, nv_ref, sym_ref, out_ref, ctxs,
     ctxs[:] = sym_ref[CHUNK_STEPS - 1, 0]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "variant"))
 def lookup_cl_t_pallas(units: jnp.ndarray, n_valid: jnp.ndarray,
-                       tables, interpret: bool = False) -> jnp.ndarray:
+                       tables, interpret: bool = False,
+                       variant: str = "i8") -> jnp.ndarray:
     """Drop-in for api.lookup_cl_t: (B, n) u8 units -> step-major
     (n, B) packed (len<<16 | code) u32, zeros at masked positions."""
     return lookup_cl_sm_pallas(units.astype(jnp.int32).T, n_valid,
-                               tables, interpret=interpret)
+                               tables, interpret=interpret,
+                               variant=variant)
 
 
 @partial(jax.jit, static_argnames=("interpret", "unroll", "variant"))
@@ -190,7 +270,9 @@ def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
     sym4 = ut.reshape(n_pad, n_tiles, 8, 128)
     nv4 = nv.reshape(n_tiles, 8, 128)
     ft = {"bf16": build_cl_planes_bf16,
-          "w3": build_cl_planes_w3}.get(
+          "w3": build_cl_planes_w3,
+          "rank": build_cl_planes_rank,
+          "rankbf": build_cl_planes_rankbf}.get(
         variant, build_cl_planes)(tables)
     n_chunks = n_pad // CHUNK_STEPS
     out = pl.pallas_call(
@@ -215,7 +297,7 @@ def lookup_cl_sm_pallas(ut: jnp.ndarray, n_valid: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20),
         cost_estimate=pl.CostEstimate(
-            flops=2 * int(Rp) * n_pad * 768 * 256,
+            flops=2 * int(Rp) * n_pad * int(ft.shape[-1]) * 256,
             bytes_accessed=int(Rp) * n_pad * 8,
             transcendentals=0),
         interpret=interpret,

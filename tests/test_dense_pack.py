@@ -163,6 +163,34 @@ def test_lookup_sm_pallas_interpret_matches():
     assert (ref == got).all()
 
 
+@pytest.mark.parametrize("variant", ["rank", "rankbf", "bf16", "w3"])
+def test_lookup_sm_pallas_variants_interpret(variant):
+    """Every selectable lookup-kernel table build (direct bf16, weighted
+    w3, round-5 rank tables) must be bit-identical to the XLA gather
+    plane, including full-range symbols (all 15 code lengths in play)
+    and the chunk-boundary carry."""
+    from mhc_tpu import api
+    from mhc_tpu.models.entropy import get_model
+    from mhc_tpu.ops.kernels import lookup_pallas
+    rng = np.random.default_rng(53)
+    n = lookup_pallas.CHUNK_STEPS + 29
+    units = rng.integers(0, 256, (lookup_pallas.LANES, n),
+                         dtype=np.uint8)
+    units[units < 190] %= 37          # skewed -> deep code lengths
+    nv = np.full((units.shape[0],), n, np.int32)
+    nv[-1] = 7
+    model = get_model("markov")
+    counts = model.histogram(jnp.asarray(units), jnp.asarray(nv),
+                             method="scatter")
+    tables = model.tables_from_lengths(
+        model.lengths_from_counts(np.asarray(counts)))
+    ut = jnp.asarray(np.ascontiguousarray(units.T))
+    ref = np.asarray(api.lookup_cl_sm(ut, jnp.asarray(nv), tables))
+    got = np.asarray(lookup_pallas.lookup_cl_sm_pallas(
+        ut, jnp.asarray(nv), tables, interpret=True, variant=variant))
+    assert (ref == got).all()
+
+
 @pytest.mark.parametrize("variant", ["i8", "bf16"])
 def test_fused_lookup_pack_matches_split(variant):
     """pack_blocks_fused_sm (one Mosaic program, no cl plane) must equal
