@@ -347,6 +347,7 @@ def compress(data: bytes, mode: str = "markov",
         lengths = model.lengths_from_counts(np.asarray(counts))
         tables = model.tables_from_lengths(lengths)
         lengths_host = np.asarray(lengths, dtype=np.uint8)
+    raw_units = du != block_size          # substream layout only
     with ph("pack", orig_len):
         packed = []
         for (ud, nvd), utd in zip(devs, sms):
@@ -369,6 +370,10 @@ def compress(data: bytes, mode: str = "markov",
                           else bitpack.encode_blocks)
                 words, bits = encode(ud, nvd,
                                      tables["codes"], tables["lengths"])
+            if raw_units:
+                words, bits = bitpack.substitute_raw_units(
+                    words, bits, ud, nvd,
+                    container.aligned_payload(model.mode))
             bits.copy_to_host_async()
             packed.append((words, bits))
     bits_parts = []
@@ -562,6 +567,16 @@ def decompress(blob: bytes, verify: bool = True,
                 words_d = jnp.asarray(words)
         with ph("decode", (hi - lo) * du):
             out = _decode(words_d, nv)
+            if meta.flags & container.FLAG_RAW_UNITS:
+                # literal units: overwrite the (garbage) entropy-decode
+                # rows with the payload bytes (round 5, FLAG_RAW_UNITS)
+                raw_m = bitpack.raw_unit_mask(
+                    _pad_rows(byte_lens_all[lo:hi], C), nv,
+                    bool(meta.flags & container.FLAG_ALIGNED_PAYLOAD))
+                if raw_m.any():
+                    out = jnp.where(
+                        jnp.asarray(raw_m)[:, None],
+                        bitpack.words_to_unit_bytes(words_d, du), out)
             outs.append(_fetch_subs(out))
     with ph("d2h", meta.orig_len):
         data = b"".join(np.asarray(s).tobytes()

@@ -117,7 +117,13 @@ def expand_impl() -> str:
 
 
 def lane_tiles_cap() -> int:
-    return int(os.environ.get("MHC_LANE_TILES", "4"))
+    # Round-5 width sweep (bench/decode_width_probe.py, 32 MB markov,
+    # VMEM gate bypassed): 2048 lanes (lt=2) is the kernel's optimum —
+    # floor-corrected 0.486-0.497 GB/s vs lt=1 0.448, lt=4 0.388-0.397,
+    # lt=8 0.374. The kernel is compute-throughput-bound, so wider
+    # tiles only add relayout/VMEM pressure; cap at 2 so small-W inputs
+    # don't auto-select the slower lt=4.
+    return int(os.environ.get("MHC_LANE_TILES", "2"))
 
 
 def decode_chains() -> int:

@@ -58,6 +58,17 @@ FLAG_PACKED_INDEX = 4
 FLAG_GROUPED_INDEX = 8
 FLAG_PACKED_TABLES = 16   # table nibbles entropy-coded (markov only)
 FLAG_ENTROPY_INDEX = 32   # unit index entropy-coded
+# Raw-literal units (round 5): units whose packed stream would occupy
+# at least the unit's own bytes in the container layout are stored as
+# LITERALS (the original bytes; bits = n_valid*8). Detection is purely
+# length-based: a stored unit length equal to the layout size of the
+# unit's original bytes means literal — unambiguous because the writer
+# forces the substitution at >=, so every non-literal stream is
+# strictly shorter. Recovers the Huffman expansion on incompressible
+# units (~0.004-0.75 % of their size; far more under a mismatched
+# order-0 table) and lets decoders skip entropy decode for them.
+FLAG_RAW_UNITS = 128
+
 # Unit streams stored at 4-byte-aligned payload offsets and the index
 # stores u32-word counts instead of byte counts. Costs ~2 padding bytes
 # per ~3 KB unit stream (~0.06%) and makes payload compaction/expansion
@@ -366,7 +377,11 @@ def build_container(mode: int, orig_len: int, block_size: int,
     flags = FLAG_CRC32 if crc is not None else 0
     aligned = aligned_payload(mode)
     if decode_unit is not None and decode_unit != block_size:
-        flags |= FLAG_SUBSTREAMS | FLAG_PACKED_INDEX
+        # FLAG_RAW_UNITS: the encoders substitute literal streams for
+        # incompressible units (bitpack.substitute_raw_units); readers
+        # apply the length-based literal rule only when this bit is set,
+        # so pre-round-5 containers keep their original semantics.
+        flags |= FLAG_SUBSTREAMS | FLAG_PACKED_INDEX | FLAG_RAW_UNITS
         if aligned:
             flags |= FLAG_ALIGNED_PAYLOAD
         du_log2 = decode_unit.bit_length() - 1
@@ -374,9 +389,15 @@ def build_container(mode: int, orig_len: int, block_size: int,
         n_blocks = (orig_len + block_size - 1) // block_size
         bits = np.asarray(bit_lengths, np.int64)
         idx_lens = (bits + 31) // 32 if aligned else (bits + 7) // 8
+        # the grouped form is self-describing (group size in-stream), so
+        # the writer searches several group sizes — unit lengths cluster
+        # by content region at region-dependent scales (round 5: the
+        # 64-unit order-0 mixed corpus wants small groups)
         variants = [(pack_index(idx_lens), 0),
-                    (pack_index_grouped(idx_lens), FLAG_GROUPED_INDEX),
                     (pack_index_entropy(idx_lens), FLAG_ENTROPY_INDEX)]
+        variants += [(pack_index_grouped(idx_lens, group=g),
+                      FLAG_GROUPED_INDEX)
+                     for g in (32, 64, 128, INDEX_GROUP)]
         index, extra = min(variants, key=lambda v: len(v[0]))
         flags |= extra
     else:

@@ -73,6 +73,10 @@ class EncodeResult:
     payload: list                # per-chunk device payload (see
                                  # payload_aligned)
     payload_n: list              # true element count per chunk
+    # True when literal (raw) units may be present (round 5 — engine
+    # encodes always substitute; hybrid container staging mirrors the
+    # container's FLAG_RAW_UNITS so pre-round-5 files decode unchanged)
+    raw_units: bool = True
     # True (engine.encode, round 4): payload chunks are u32 word arrays
     # with every unit stream word-aligned — INDEPENDENT of the container
     # layout (order-0's unaligned container is produced on the HOST at
@@ -181,11 +185,24 @@ def encode(st: Staged, hist_method: str | None = None,
     packed = []
     payload = []
     sms = st.units_sm or [None] * len(st.units)
+    raw_units = st.decode_unit != st.block_size    # substream layout
+    aligned = container.aligned_payload(model.mode)
+
+    def _subst(words, bits, ud, nvd, utd):
+        """Literal substitution (round 5) — unit-major source preferred;
+        after release_unit_major() the step-major copy is transposed."""
+        if not raw_units:
+            return words, bits
+        src = ud if ud is not None else utd.astype(jnp.int32).T
+        return bitpack.substitute_raw_units(words, bits, src, nvd,
+                                            aligned)
+
     for ud, nvd, utd in zip(st.units, st.n_valid, sms):
         if pack_method == "fused" and utd is not None:
             from .ops.kernels import encode_pallas
             words, bits = encode_pallas.pack_blocks_fused_sm(
                 utd, nvd, tables)
+            words, bits = _subst(words, bits, ud, nvd, utd)
             bits.copy_to_host_async()
             if dev_offs:
                 wl = (bits.astype(jnp.int32) + 31) // 32
@@ -205,10 +222,12 @@ def encode(st: Staged, hist_method: str | None = None,
                 cl = api.lookup_cl_sm_auto(utd, nvd, tables)
             else:
                 cl = api.lookup_cl_t_auto(ud, nvd, tables)
-            if fused:
+            if fused and not raw_units:
                 # fused pack+compaction: dense aligned payload straight
                 # from the bubble stream, offsets on device — no host
-                # round-trip between pack and compaction
+                # round-trip between pack and compaction. (With literal
+                # units in play the words plane is needed for the
+                # substitution, so the un-fused pack below runs instead.)
                 pay, bits = encode_pallas.pack_blocks_to_payload(
                     cl, step_major=True)
                 payload.append(pay)
@@ -219,10 +238,21 @@ def encode(st: Staged, hist_method: str | None = None,
                   if pack_method == "pallas"
                   else encode_pallas.pack_blocks_dense)
             words, bits = pk(cl, step_major=True)
+            words, bits = _subst(words, bits, ud, nvd, utd)
+            if fused:
+                bits.copy_to_host_async()
+                wl = (bits.astype(jnp.int32) + 31) // 32
+                offsets = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(wl)])
+                payload.append(api._compact_words(
+                    words, offsets, words.shape[0] * words.shape[1]))
+                packed.append((words, bits))
+                continue
         else:
             enc = (bitpack.encode_blocks_merge if pack_method == "merge"
                    else bitpack.encode_blocks)
             words, bits = enc(ud, nvd, tables["codes"], tables["lengths"])
+            words, bits = _subst(words, bits, ud, nvd, utd)
         bits.copy_to_host_async()
         if dev_offs:
             # offsets from the on-device bit lengths; worst-case pad
@@ -268,6 +298,75 @@ def encode(st: Staged, hist_method: str | None = None,
         bit_lens=bit_lens, payload=payload, payload_n=payload_n)
 
 
+def _decode_repacked(enc: EncodeResult, tables, model, du: int, C: int,
+                     W: int, wl_all: np.ndarray, raw_all: np.ndarray,
+                     fetch_impl: str, refill: str) -> list:
+    """Literal-aware device decode (round 5): literal units cost the
+    Mosaic kernel the same per-lane work as coded ones, so with literals
+    present the units are REPACKED — entropy-coded units gathered into
+    full kernel chunks (ceil(n_coded/C) dispatches instead of
+    ceil(n_units/C)), literal units expanded and byte-unpacked only —
+    then a device row gather restores original chunk order. All work is
+    on-device and inside the decode timing. On the mixed bench corpus
+    ~25% of units are literal, cutting kernel dispatches accordingly."""
+    from . import config as _cfg
+    from .ops.kernels import decode_pallas
+    R = enc.n_units
+    wl = wl_all[:R].astype(np.int64)
+    # global word offsets into the concatenation of the per-chunk
+    # payloads (chunk k's units were compacted chunk-locally)
+    offs = np.zeros(R, np.int64)
+    base = 0
+    for k, n in enumerate(enc.payload_n):
+        lo, hi = k * C, min(k * C + C, R)
+        local = np.zeros(hi - lo, np.int64)
+        np.cumsum(wl[lo:hi - 1] if hi - lo > 1 else wl[lo:lo],
+                  out=local[1:])
+        offs[lo:hi] = base + local
+        base += n
+    parts = [p[:n] for p, n in zip(enc.payload, enc.payload_n)]
+    parts.append(jnp.zeros((W,), jnp.uint32))      # expand slack
+    payload_all = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def groups(idx):
+        for g in range(0, len(idx), C):
+            sel = idx[g:g + C]
+            o = np.zeros(C, np.int32)
+            ln = np.zeros(C, np.int32)
+            o[: len(sel)] = offs[sel]
+            ln[: len(sel)] = wl[sel]
+            yield api._expand_words_u32(
+                payload_all, jnp.asarray(np.concatenate([o, [0]])),
+                jnp.asarray(ln), W)
+
+    nonraw_idx = np.where(~raw_all)[0]
+    raw_idx = np.where(raw_all)[0]
+    decoded = []
+    for words_d in groups(nonraw_idx):
+        decoded.append(decode_pallas.decode_blocks_pallas(
+            words_d, tables["lim"], tables["base"],
+            tables["first_code"], tables["sorted_syms"],
+            n_out=du, markov=model.markov, fetch_impl=fetch_impl,
+            refill=refill, lane_tiles=_cfg.lane_tiles_cap(),
+            chains=_cfg.decode_chains()))
+    n_nr_pad = len(decoded) * C
+    for words_d in groups(raw_idx):
+        decoded.append(bitpack.words_to_unit_bytes(words_d, du))
+    big = decoded[0] if len(decoded) == 1 else jnp.concatenate(
+        decoded, axis=0)
+    pos = np.empty(R, np.int64)
+    pos[nonraw_idx] = np.arange(len(nonraw_idx))
+    pos[raw_idx] = n_nr_pad + np.arange(len(raw_idx))
+    outs = []
+    for lo in range(0, R, C):
+        hi = min(lo + C, R)
+        p = np.zeros(C, np.int64)
+        p[: hi - lo] = pos[lo:hi]
+        outs.append(jnp.take(big, jnp.asarray(p), axis=0))
+    jax.block_until_ready(outs)
+    return outs
+
+
 def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
     """Device-resident decode: tables from the length header -> word
     expansion -> block-parallel symbol decode. Returns the per-chunk
@@ -294,10 +393,27 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
                 > decode_pallas.VMEM_BUDGET:
             decode_method = "scan"
 
+    raw_units = enc.raw_units and enc.decode_unit != enc.block_size
+    if raw_units and decode_method == "pallas" and enc.payload_aligned \
+            and enc.n_units:
+        nv_all = np.full(enc.n_units, du, np.int64)
+        nv_all[-1] = enc.orig_len - (enc.n_units - 1) * du
+        raw_all = bitpack.raw_unit_mask(
+            wl_all[: enc.n_units] * 4, nv_all, True)
+        if raw_all.any():
+            # literal units present: repack so the Mosaic kernel only
+            # sees entropy-coded units (fewer full-C dispatches) and
+            # literals are served by a byte unpack — see _decode_repacked
+            return _decode_repacked(enc, tables, model, du, C, W,
+                                    wl_all, raw_all, fetch_impl, refill)
     outs = []
     for k, payload_d in enumerate(enc.payload):
         lo = k * C
         hi = min(lo + C, enc.n_units)
+        nv = np.full(C, du, dtype=np.int32)
+        nv[hi - lo:] = 0
+        if hi == enc.n_units:
+            nv[hi - lo - 1] = enc.orig_len - (enc.n_units - 1) * du
         if enc.payload_aligned:
             lens = api._pad_rows(wl_all[lo:hi].astype(np.int32), C)
             offsets = np.zeros(C + 1, np.int32)
@@ -321,14 +437,22 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
                 refill=refill, lane_tiles=_cfg.lane_tiles_cap(),
                 chains=_cfg.decode_chains())
         else:
-            nv = np.full(C, du, dtype=np.int32)
-            nv[hi - lo:] = 0
-            if hi == enc.n_units:
-                nv[hi - lo - 1] = enc.orig_len - (enc.n_units - 1) * du
             out = bitpack.decode_blocks(
                 words_d, jnp.asarray(nv), tables["lim"], tables["base"],
                 tables["first_code"], tables["sorted_syms"],
                 n_out=du, markov=model.markov)
+        if raw_units:
+            # literal units (round 5): overwrite the garbage entropy-
+            # decode rows with the payload bytes — device-side so the
+            # decode metric covers the literal path too
+            sl = api._pad_rows(
+                (wl_all[lo:hi] * 4 if enc.payload_aligned
+                 else enc.byte_lens[lo:hi]).astype(np.int64), C)
+            raw_m = bitpack.raw_unit_mask(sl, nv, enc.payload_aligned)
+            if raw_m.any():
+                out = jnp.where(
+                    jnp.asarray(raw_m)[:, None],
+                    bitpack.words_to_unit_bytes(words_d, du), out)
         outs.append(out)
     jax.block_until_ready(outs)
     return outs

@@ -48,10 +48,11 @@ def _device_units(R: int, host_fraction: float) -> int:
 
 
 def _host_encode(host_bytes: np.ndarray, du: int, lengths: np.ndarray,
-                 markov: bool):
+                 markov: bool, raw_mode: int):
     packed = native.build_enc_table(lengths)
     row_stride = bitpack.words_for_block(du) * 4
-    return native.encode_units(host_bytes, du, packed, markov, row_stride)
+    return native.encode_units(host_bytes, du, packed, markov, row_stride,
+                               raw_mode=raw_mode)
 
 
 def compress(data: bytes, mode: str = "markov",
@@ -98,9 +99,12 @@ def compress(data: bytes, mode: str = "markov",
     lengths_host = np.asarray(lengths, dtype=np.uint8)
 
     # pass 2: emit — host threads run concurrently with the device stream
+    raw_mode = 0 if du == block_size else (
+        2 if container.aligned_payload(model.mode) else 1)
     with ThreadPoolExecutor(1) as ex:
         fut = (ex.submit(_host_encode, host_bytes, du, lengths_host,
-                         model.markov) if host_bytes.size else None)
+                         model.markov, raw_mode)
+               if host_bytes.size else None)
         enc_dev = (engine.encode(st, pack_method=pack_method,
                                  lengths=lengths) if st is not None
                    else None)
@@ -130,8 +134,11 @@ def _host_decode(blob: bytes, meta, S: int, du: int,
     lut = native.build_dec_lut(meta.lengths)
     markov = meta.mode == container.MODE_MARKOV
     out = np.empty(n_local, np.uint8)
+    raw_mode = 0
+    if meta.flags & container.FLAG_RAW_UNITS:
+        raw_mode = 2 if meta.flags & container.FLAG_ALIGNED_PAYLOAD else 1
     native.decode_units(payload, offsets, byte_lens, du, n_local, lut,
-                        markov, out)
+                        markov, out, raw_mode=raw_mode)
     return out.tobytes()
 
 
@@ -166,6 +173,7 @@ def _device_result_from_container(blob: bytes, meta, S: int, du: int,
         orig_len=min(S * du, meta.orig_len), n_units=S, chunk=C,
         lengths=meta.lengths, byte_lens=byte_lens,
         bit_lens=byte_lens * 8, payload=payload, payload_n=payload_n,
+        raw_units=bool(meta.flags & container.FLAG_RAW_UNITS),
         payload_aligned=aligned)
 
 

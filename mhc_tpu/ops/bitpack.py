@@ -160,6 +160,79 @@ def words_for_block(block_size: int, max_len: int = MAX_CODE_LEN) -> int:
     return (block_size * max_len + 31) // 32 + 1
 
 
+# ---------------------------------------------------------------------------
+# Raw-literal units (round 5, container FLAG_RAW_UNITS). Huffman EXPANDS
+# incompressible units (uniform-random bytes cost ~8.004 bits/symbol
+# order-0 and ~0.75% extra under sparse markov contexts; under a
+# text-skewed order-0 table, noise units pay the full cross-entropy
+# gap). A unit whose packed stream would occupy at least the unit's own
+# bytes in the container layout is stored as a LITERAL instead: the
+# original bytes, big-endian word-packed, with bits = n_valid*8.
+# Detection is length-based and unambiguous: after substitution a
+# stored unit reaches the layout size of its original bytes IFF it is a
+# literal (non-literal streams are strictly shorter — the encoder
+# forces the substitution at >=).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("aligned",))
+def substitute_raw_units(words: jnp.ndarray, bits: jnp.ndarray,
+                         units: jnp.ndarray, n_valid: jnp.ndarray,
+                         aligned: bool):
+    """Post-pack literal substitution. words (B, W) u32 packed streams,
+    bits (B,), units (B, du) u8 (zero past n_valid), n_valid (B,).
+    Returns (words', bits') with literal units' streams replaced by
+    their original bytes (BE word-packed) and bits' = n_valid*8."""
+    B, W = words.shape
+    du = units.shape[1]
+    b = bits.astype(jnp.int64)
+    nv = n_valid.astype(jnp.int64)
+    if aligned:
+        raw = (b + 31) // 32 >= (nv + 3) // 4
+    else:
+        raw = (b + 7) // 8 >= nv
+    pos = jnp.arange(du, dtype=jnp.int32)
+    u = jnp.where(pos[None, :] < nv[:, None].astype(jnp.int32),
+                  units.astype(jnp.uint32), 0).reshape(B, du // 4, 4)
+    uw = ((u[..., 0] << 24) | (u[..., 1] << 16)
+          | (u[..., 2] << 8) | u[..., 3])
+    if W > du // 4:
+        uw = jnp.concatenate(
+            [uw, jnp.zeros((B, W - du // 4), jnp.uint32)], axis=1)
+    else:
+        uw = uw[:, :W]
+    words_out = jnp.where(raw[:, None], uw, words)
+    bits_out = jnp.where(raw, (nv * 8).astype(bits.dtype),
+                         bits).astype(bits.dtype)
+    return words_out, bits_out
+
+
+def raw_unit_mask(stored_byte_lens: np.ndarray, n_valid: np.ndarray,
+                  aligned: bool) -> np.ndarray:
+    """Decode-side literal detection from the container index. Host
+    numpy; stored_byte_lens are LAYOUT bytes (aligned: word-count*4)."""
+    sl = np.asarray(stored_byte_lens, np.int64)
+    nv = np.asarray(n_valid, np.int64)
+    if aligned:
+        return sl == ((nv + 3) // 4) * 4
+    return sl == nv
+
+
+@partial(jax.jit, static_argnames=("du",))
+def words_to_unit_bytes(words: jnp.ndarray, du: int) -> jnp.ndarray:
+    """(B, W) u32 BE stream words -> (B, du) u8 literal bytes (the
+    decode-side inverse of the literal packing above). W may be
+    narrower than du/4 when only a RAGGED final unit is literal (the
+    stream buffer is sized by the max coded stream) — pad with zeros."""
+    B, W = words.shape
+    w = words[:, : du // 4]
+    if W < du // 4:
+        w = jnp.concatenate(
+            [w, jnp.zeros((B, du // 4 - W), jnp.uint32)], axis=1)
+    by = jnp.stack([(w >> 24) & 255, (w >> 16) & 255,
+                    (w >> 8) & 255, w & 255], axis=-1)
+    return by.reshape(B, du).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("max_len",))
 def encode_blocks(data: jnp.ndarray, n_valid: jnp.ndarray,
                   code_table: jnp.ndarray, len_table: jnp.ndarray,

@@ -744,7 +744,7 @@ def decode_blocks_pallas(words: jnp.ndarray, lim, base, first_code,
     from ... import config as _cfg
     lt_cap = lane_tiles or _cfg.lane_tiles_cap()
     lt = 1
-    for cand in (4, 2, 1):
+    for cand in (8, 4, 2, 1):
         if cand > lt_cap:
             continue
         n_super_c = -(-R // (LANES * cand))

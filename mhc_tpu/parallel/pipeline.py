@@ -317,9 +317,17 @@ def compress_sharded(data: bytes, mesh: Mesh | None = None,
     lengths_host = np.asarray(lengths_dev, dtype=np.uint8)
 
     bits_parts, payload_parts = [], []
+    raw_units = du != block_size
     for blocks_d, nv_d, B in chunks:
         words, bits = _pack_sharded(blocks_d, nv_d, lengths_dev,
                                     markov=model.markov, mesh=mesh)
+        if raw_units:
+            # literal substitution (round 5) on the sharded arrays —
+            # elementwise over the block axis, so it stays sharded and
+            # the container remains byte-identical to api.compress
+            words, bits = bitpack.substitute_raw_units(
+                words, bits, blocks_d, nv_d,
+                container.aligned_payload(model.mode))
         bits_h = _to_host(bits)[:B].astype(np.int64)
         bits_parts.append(bits_h)
         # fetch only the chunk-max (layout-aware) stream width
@@ -375,6 +383,18 @@ def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
                              n_out=du, markov=model.markov,
                              decode_method=decode_method,
                              interpret=interpret)
+        if meta.flags & container.FLAG_RAW_UNITS:
+            # literal units: replace the garbage entropy-decode rows
+            # with the payload bytes (host-side — the gathered output
+            # is already on host here)
+            raw_m = bitpack.raw_unit_mask(
+                byte_lens[lo:hi], nv,
+                bool(meta.flags & container.FLAG_ALIGNED_PAYLOAD))
+            if raw_m.any():
+                out = np.array(out, copy=True)
+                lits = np.asarray(bitpack.words_to_unit_bytes(
+                    jnp.asarray(words[: hi - lo]), du))
+                out[raw_m] = lits[raw_m]
         parts.append(out.reshape(-1)[: (hi - lo - 1) * du + nv[-1]])
     data = b"".join(p.tobytes() for p in parts)
     if verify:

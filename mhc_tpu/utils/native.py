@@ -23,7 +23,7 @@ _lib = None
 _tried = False
 
 
-_CODEC_VERSION = 4  # keep in sync with mhc_codec_version()
+_CODEC_VERSION = 5  # keep in sync with mhc_codec_version()
 
 
 def _stale() -> bool:
@@ -70,13 +70,15 @@ def _load():
             lib.mhc_encode_units.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int]
             lib.mhc_build_dec_lut.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
             lib.mhc_decode_units.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int]
             lib.mhc_entropy_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
@@ -221,8 +223,10 @@ def build_enc_table(lengths: np.ndarray) -> np.ndarray | None:
 
 
 def encode_units(data: np.ndarray, unit: int, packed: np.ndarray,
-                 markov: bool, row_stride: int):
-    """Encode ceil(n/unit) unit streams. Returns (rows, bit_lens)."""
+                 markov: bool, row_stride: int, raw_mode: int = 0):
+    """Encode ceil(n/unit) unit streams. Returns (rows, bit_lens).
+    raw_mode: 0 = no literal substitution, 1 = unaligned-layout rule,
+    2 = word-aligned rule (container FLAG_RAW_UNITS, round 5)."""
     lib = _load()
     d = np.ascontiguousarray(data, dtype=np.uint8)
     n_units = (d.size + unit - 1) // unit
@@ -231,7 +235,7 @@ def encode_units(data: np.ndarray, unit: int, packed: np.ndarray,
     lib.mhc_encode_units(d.ctypes.data, d.size, unit, n_units,
                          np.ascontiguousarray(packed, np.uint32).ctypes.data,
                          1 if markov else 0, rows.ctypes.data, row_stride,
-                         bit_lens.ctypes.data)
+                         bit_lens.ctypes.data, raw_mode)
     return rows, bit_lens
 
 
@@ -248,9 +252,11 @@ def build_dec_lut(lengths: np.ndarray) -> np.ndarray | None:
 
 def decode_units(payload: np.ndarray, offsets: np.ndarray,
                  byte_lens: np.ndarray, unit: int, n_total: int,
-                 lut: np.ndarray, markov: bool, out: np.ndarray) -> None:
+                 lut: np.ndarray, markov: bool, out: np.ndarray,
+                 raw_mode: int = 0) -> None:
     """Decode unit streams into `out` (preallocated, n_units*unit... view).
-    out[u*unit : u*unit+m) receives unit u's bytes."""
+    out[u*unit : u*unit+m) receives unit u's bytes. raw_mode as in
+    encode_units (literal units are memcpy'd through)."""
     lib = _load()
     n_units = len(byte_lens)
     lib.mhc_decode_units(
@@ -258,7 +264,7 @@ def decode_units(payload: np.ndarray, offsets: np.ndarray,
         np.ascontiguousarray(offsets, np.int64).ctypes.data,
         np.ascontiguousarray(byte_lens, np.int64).ctypes.data,
         n_units, unit, n_total, lut.ctypes.data, 1 if markov else 0,
-        out.ctypes.data)
+        out.ctypes.data, raw_mode)
 
 
 def split_rows(payload, lens: np.ndarray, stride: int) -> np.ndarray:

@@ -148,10 +148,17 @@ void mhc_build_enc_table(const uint8_t* lengths, int64_t nctx,
 // stream length in BITS (the container index stores bits for the legacy
 // layout; byte length = ceil(bits/8)). Bit-identical to
 // encode_blocks/_merge on device (tested, tests/test_hybrid.py).
+// raw_mode (round 5, container FLAG_RAW_UNITS): 0 = never substitute
+// (legacy layouts), 1 = unaligned byte layout (literal when
+// ceil(bits/8) >= m), 2 = word-aligned layout (literal when
+// ceil(bits/32) >= ceil(m/4)). A literal unit's stream is the original
+// bytes and bit_lens = m*8 — the same rule as
+// ops/bitpack.substitute_raw_units (containers stay byte-identical
+// across the host and device encoders, tested in test_hybrid.py).
 void mhc_encode_units(const uint8_t* data, int64_t n, int64_t unit,
                       int64_t n_units, const uint32_t* packed, int markov,
                       uint8_t* rows, int64_t row_stride,
-                      int64_t* bit_lens) {
+                      int64_t* bit_lens, int raw_mode) {
   parallel_range(n_units, hw_threads2(), [&](int, int64_t lo, int64_t hi) {
     for (int64_t u = lo; u < hi; ++u) {
       const uint8_t* p = data + u * unit;
@@ -177,6 +184,13 @@ void mhc_encode_units(const uint8_t* data, int64_t n, int64_t unit,
         if (markov) prev = p[i];
       }
       if (nbits > 0) out[pos++] = (uint8_t)(acc >> 56);
+      bool raw = (raw_mode == 1 && (total_bits + 7) / 8 >= m) ||
+                 (raw_mode == 2 && (total_bits + 31) / 32 >= (m + 3) / 4);
+      if (raw) {
+        std::memcpy(out, p, (size_t)m);
+        pos = m;
+        total_bits = m * 8;
+      }
       std::memset(out + pos, 0, (size_t)(row_stride - pos));
       bit_lens[u] = total_bits;
     }
@@ -217,16 +231,24 @@ void mhc_build_dec_lut(const uint8_t* lengths, int64_t nctx,
 // the first unit's stream; offsets[u] = byte offset of unit u's stream
 // within payload; byte_lens[u] its length. markov: decoded byte becomes
 // the next context (reset 0 per unit).
+// raw_mode as in mhc_encode_units: literal units are detected by their
+// stored length reaching the layout size of the unit's original bytes
+// and copied through without entropy decode.
 void mhc_decode_units(const uint8_t* payload, const int64_t* offsets,
                       const int64_t* byte_lens, int64_t n_units,
                       int64_t unit, int64_t n_total, const uint16_t* lut,
-                      int markov, uint8_t* out) {
+                      int markov, uint8_t* out, int raw_mode) {
   parallel_range(n_units, hw_threads2(), [&](int, int64_t lo, int64_t hi) {
     for (int64_t u = lo; u < hi; ++u) {
       const uint8_t* src = payload + offsets[u];
       int64_t nb = byte_lens[u];
       int64_t m = std::min(unit, n_total - u * unit);
       uint8_t* dst = out + u * unit;
+      if ((raw_mode == 1 && nb == m) ||
+          (raw_mode == 2 && nb == ((m + 3) / 4) * 4)) {
+        std::memcpy(dst, src, (size_t)m);
+        continue;
+      }
       uint64_t acc = 0;  // next bits left-aligned at the top
       int nbits = 0;
       int64_t pos = 0;
@@ -292,6 +314,6 @@ int64_t mhc_entropy_decode(const uint8_t* src, int64_t nb, const uint8_t* lens,
   return (bits_used + 7) / 8;
 }
 
-int mhc_codec_version() { return 4; }
+int mhc_codec_version() { return 5; }
 
 }  // extern "C"

@@ -111,17 +111,14 @@ def test_fuzz_roundtrip_differential(iteration):
 
 def test_fuzz_size_vs_oracle():
     """Default-parameter containers on a random corpus must stay <= the
-    C++ oracle's size (the BASELINE 'size <= reference' contract) with a
-    small fixed allowance for the block-parallel index on order-0 mixed
-    content (RESULTS.md: payload bits are identical by construction;
-    the per-unit stream index costs ~0.01%)."""
+    C++ oracle's size (the BASELINE 'size <= reference' contract),
+    UNCONDITIONALLY for both modes (VERDICT r4 #4). Round 5's literal
+    units recover the order-0 expansion on incompressible segments that
+    previously put mixed corpora ~0.01% over."""
     rng = np.random.default_rng(SEED)
     data = _random_corpus(rng, 1 << 20)
     for mode in ("markov", "huffman"):
         ours = len(api.compress(data, mode=mode))
         oracle = _oracle_size(data, mode)
         ctx = f"seed={SEED} mode={mode} ours={ours} oracle={oracle}"
-        if mode == "markov":
-            assert ours <= oracle, ctx
-        else:
-            assert ours <= oracle * 1.001 + 64, ctx
+        assert ours <= oracle, ctx
