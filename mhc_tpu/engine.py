@@ -400,10 +400,13 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
         nv_all[-1] = enc.orig_len - (enc.n_units - 1) * du
         raw_all = bitpack.raw_unit_mask(
             wl_all[: enc.n_units] * 4, nv_all, True)
-        if raw_all.any():
-            # literal units present: repack so the Mosaic kernel only
-            # sees entropy-coded units (fewer full-C dispatches) and
-            # literals are served by a byte unpack — see _decode_repacked
+        n_nonraw = int((~raw_all).sum())
+        # Repack ONLY when it saves whole kernel dispatches: the reorder
+        # gather costs ~an HBM pass, so at shapes where
+        # ceil(nonraw/C) == n_chunks the plain overwrite path is faster
+        # (round-5 measurement: 32 MB/25% literals lost ~20 ms to the
+        # repack; 100 MB drops 7 -> 5 dispatches and wins)
+        if raw_all.any() and -(-n_nonraw // C) < len(enc.payload):
             return _decode_repacked(enc, tables, model, du, C, W,
                                     wl_all, raw_all, fetch_impl, refill)
     outs = []
