@@ -26,6 +26,10 @@ Knob catalog (see CLAUDE.md):
   MHC_COMPACT_IMPL   slices | gather | blocks  (payload compaction)
   MHC_STAGE_SM       0 disables step-major host staging (api/engine)
   MHC_DEVICE_OFFSETS 0 disables device-side compaction offsets (engine)
+  MHC_TABLE_BUILD    auto | host | device (engine.encode table build;
+                     auto = on-chip below 8 MB to skip the counts-fetch
+                     sync, host C++ builder above — read in engine.py /
+                     models/entropy.py, bit-identical either way)
 """
 
 from __future__ import annotations

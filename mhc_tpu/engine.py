@@ -159,11 +159,37 @@ def encode(st: Staged, hist_method: str | None = None,
     model = get_model(st.mode)
     pack_method = pack_method or api._default_pack_method()
 
+    lengths_pending = None
     if lengths is None:
-        counts = histogram(st, hist_method)
-        lengths = model.lengths_from_counts(counts)
+        # auto: on-chip build below 8 MB — the counts-fetch sync is the
+        # dominant fixed cost there (round-5 1 MB probe: order-0 encode
+        # 157 -> 103 ms, markov 140 -> 132); host C++ build above (the
+        # sync amortizes and the host builder is ~1 ms)
+        build = os.environ.get("MHC_TABLE_BUILD", "auto")
+        if build == "auto":
+            build = ("device" if st.n_units * st.decode_unit <= (8 << 20)
+                     else "host")
+        if build == "device" and jax.default_backend() == "tpu":
+            # On-chip table build (round 5, small-input diet): keep the
+            # counts ON DEVICE and chain the deterministic builder into
+            # the dispatch stream — removes the ~26 ms counts-fetch sync
+            # from the encode critical path (the builders are asserted
+            # bit-identical, so containers don't change). The uint8
+            # header copy is fetched asynchronously.
+            from .ops import huffman
+            counts_dev = api._hist_with_fallback(
+                model, zip(st.units, st.n_valid),
+                hist_method or api._default_hist_method())
+            lengths = huffman.code_lengths(
+                huffman.rescale_counts_jax(counts_dev))
+            lengths_pending = lengths.astype(jnp.uint8)
+            lengths_pending.copy_to_host_async()
+        else:
+            counts = histogram(st, hist_method)
+            lengths = model.lengths_from_counts(counts)
     tables = model.tables_from_lengths(lengths)
-    lengths_host = np.asarray(lengths, dtype=np.uint8)
+    lengths_host = (None if lengths_pending is not None
+                    else np.asarray(lengths, dtype=np.uint8))
 
     # The ENGINE payload is ALWAYS word-aligned u32 (round 4) — the
     # container's unaligned order-0 layout is produced on the host at
@@ -289,6 +315,8 @@ def encode(st: Staged, hist_method: str | None = None,
             words, jnp.asarray(offsets), pad))
         payload_n.append(total)
     jax.block_until_ready(payload)
+    if lengths_host is None:
+        lengths_host = np.asarray(lengths_pending, dtype=np.uint8)
     bit_lens = np.concatenate(bit_parts)[: st.n_units]
     return EncodeResult(
         mode=st.mode, block_size=st.block_size, decode_unit=st.decode_unit,
@@ -394,12 +422,20 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
             decode_method = "scan"
 
     raw_units = enc.raw_units and enc.decode_unit != enc.block_size
+    # Literal detection follows the CONTAINER layout (the substitution
+    # rule) — the engine's internal payload is word-aligned for every
+    # mode, but order-0 containers are byte-laid-out, so detecting on
+    # word counts misclassifies near-incompressible coded units whose
+    # word count rounds up to the literal's (round-5 probe: 1 MB mixed
+    # order-0 unit 48 decoded as garbage literal).
+    cont_aligned = container.aligned_payload(model.mode)
+    sl_cont_all = container.stream_byte_lens(enc.bit_lens, model.mode)
     if raw_units and decode_method == "pallas" and enc.payload_aligned \
             and enc.n_units:
         nv_all = np.full(enc.n_units, du, np.int64)
         nv_all[-1] = enc.orig_len - (enc.n_units - 1) * du
         raw_all = bitpack.raw_unit_mask(
-            wl_all[: enc.n_units] * 4, nv_all, True)
+            sl_cont_all[: enc.n_units], nv_all, cont_aligned)
         n_nonraw = int((~raw_all).sum())
         # Repack ONLY when it saves whole kernel dispatches: the reorder
         # gather costs ~an HBM pass, so at shapes where
@@ -447,11 +483,11 @@ def decode(enc: EncodeResult, decode_method: str | None = None) -> list:
         if raw_units:
             # literal units (round 5): overwrite the garbage entropy-
             # decode rows with the payload bytes — device-side so the
-            # decode metric covers the literal path too
+            # decode metric covers the literal path too (detection on
+            # the CONTAINER layout, see above)
             sl = api._pad_rows(
-                (wl_all[lo:hi] * 4 if enc.payload_aligned
-                 else enc.byte_lens[lo:hi]).astype(np.int64), C)
-            raw_m = bitpack.raw_unit_mask(sl, nv, enc.payload_aligned)
+                sl_cont_all[lo:hi].astype(np.int64), C)
+            raw_m = bitpack.raw_unit_mask(sl, nv, cont_aligned)
             if raw_m.any():
                 out = jnp.where(
                     jnp.asarray(raw_m)[:, None],

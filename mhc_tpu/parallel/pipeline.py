@@ -229,11 +229,13 @@ def _resolve_shard_decode(mesh: Mesh, W: int, n_out: int,
     return method, fetch_impl, refill
 
 
-def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
-                   lengths: np.ndarray, mesh: Mesh, n_out: int,
-                   markov: bool = True, decode_method: str | None = None,
-                   interpret: bool = False) -> np.ndarray:
-    """Sharded decode of a block batch; returns (B, n_out) uint8 on host."""
+def decode_sharded_device(words: np.ndarray, n_valid: np.ndarray,
+                          lengths: np.ndarray, mesh: Mesh, n_out: int,
+                          markov: bool = True,
+                          decode_method: str | None = None,
+                          interpret: bool = False):
+    """Sharded decode of a block batch; returns (global (Bp, n_out)
+    uint8 device Array, B) — the caller picks the gather strategy."""
     n_shards = mesh.shape[DATA_AXIS]
     B = words.shape[0]
     Bp = pad_to_multiple(max(B, 1), n_shards)
@@ -252,7 +254,33 @@ def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
                    NamedSharding(mesh, P())),
         markov=markov, n_out=n_out, mesh=mesh, method=method,
         fetch_impl=fetch_impl, refill=refill, interpret=interpret)
-    return _to_host(out)[:B]
+    return out, B
+
+
+def _to_host_subs(arr) -> np.ndarray:
+    """Ordered gather via parallel sub-buffer d2h streams: the single
+    np.asarray materialization was the round-4 1.45x sharded-decompress
+    overhead — the relay parallelizes across in-flight buffers (~10x
+    aggregate, api._d2h_sub), so split the output exactly like
+    api.decompress does. Multi-process meshes keep the allgather path."""
+    if not arr.is_fully_addressable:
+        return _to_host(arr)
+    from .. import api as _api
+    subs = _api._fetch_subs(arr)
+    flat = np.concatenate([np.asarray(s).reshape(-1) for s in subs])
+    return flat.reshape(arr.shape)
+
+
+def decode_sharded(words: np.ndarray, n_valid: np.ndarray,
+                   lengths: np.ndarray, mesh: Mesh, n_out: int,
+                   markov: bool = True, decode_method: str | None = None,
+                   interpret: bool = False) -> np.ndarray:
+    """Sharded decode of a block batch; returns (B, n_out) uint8 on host."""
+    out, B = decode_sharded_device(words, n_valid, lengths, mesh, n_out,
+                                   markov=markov,
+                                   decode_method=decode_method,
+                                   interpret=interpret)
+    return _to_host_subs(out)[:B]
 
 
 # ---------------------------------------------------------------------------

@@ -149,6 +149,47 @@ def test_hybrid_container_identity_with_raw():
     assert hybrid.decompress(ref, host_fraction=1.0) == data
 
 
+def test_detection_matches_substitution_rule_boundary():
+    """The decode-side literal detection must agree with the encode-side
+    substitution at EVERY boundary value of (bits, n_valid) for both
+    container layouts. Round-5 regression: the engine's internal payload
+    is word-aligned for every mode, but order-0 CONTAINERS are byte-laid
+    out — detecting on word counts misclassified coded units whose word
+    count rounds up to the literal's (bits in (8*nv-24, 8*nv))."""
+    for aligned in (True, False):
+        for nv in (2048, 2045, 5, 1):
+            for bits in range(8 * nv - 40, 8 * nv + 1):
+                if bits <= 0:
+                    continue
+                # encoder rule (substitute_raw_units / C++ raw_mode)
+                if aligned:
+                    fires = (bits + 31) // 32 >= (nv + 3) // 4
+                else:
+                    fires = (bits + 7) // 8 >= nv
+                stored_bits = nv * 8 if fires else bits
+                # container layout size of the stored stream
+                if aligned:
+                    sl = ((stored_bits + 31) // 32) * 4
+                else:
+                    sl = (stored_bits + 7) // 8
+                det = bitpack.raw_unit_mask(
+                    np.array([sl]), np.array([nv]), aligned)[0]
+                assert bool(det) == fires, (aligned, nv, bits)
+
+
+def test_engine_order0_near_incompressible_roundtrip():
+    """Order-0 engine decode on content whose coded units land near the
+    literal boundary (the exact shape that exposed the layout-rule
+    mismatch: noise under a mildly skewed global table)."""
+    rng = np.random.default_rng(101)
+    data = (english_like(120_000, seed=3)
+            + rng.integers(0, 256, 700_000, dtype=np.uint8).tobytes())
+    st = engine.stage(data, mode="huffman", decode_unit=2048)
+    enc = engine.encode(st)
+    outs = engine.decode(enc)
+    assert engine.fetch_bytes(enc, outs) == data
+
+
 def test_engine_repacked_decode_matches(monkeypatch):
     """The literal-aware repacked decode (kernel sees only coded units,
     literals byte-unpacked, device gather restores order) must be
