@@ -148,6 +148,13 @@ def lookup_cl_sm(ut, n_valid, tables):
     return jnp.where(valid, cl, jnp.uint32(0))
 
 
+def _fused_variant() -> str:
+    """Lookup-table build for the fused lookup+pack megakernel — follows
+    MHC_LOOKUP_VARIANT; w3's weighted fold has no fused form (-> i8)."""
+    v = _cfg.lookup_variant()
+    return v if v in ("i8", "bf16", "rank", "rankbf") else "i8"
+
+
 def lookup_cl_sm_auto(ut, n_valid, tables):
     """lookup_cl_sm with MHC_LOOKUP resolution (pallas kernel on TPU)."""
     if _cfg.lookup_method() == "pallas" \
@@ -354,7 +361,8 @@ def compress(data: bytes, mode: str = "markov",
             if pack_method == "fused" and utd is not None:
                 from .ops.kernels import encode_pallas
                 words, bits = encode_pallas.pack_blocks_fused_sm(
-                    utd, nvd, tables)
+                    utd, nvd, tables,
+                    variant=_fused_variant())
             elif pack_method in ("pallas", "dense", "fused"):
                 from .ops.kernels import encode_pallas
                 pk = (encode_pallas.pack_blocks_pallas

@@ -63,14 +63,16 @@ def refill_impl() -> str:
 
 def pack_method() -> str:
     # dense | pallas | merge | scatter | fused.
+    # fused (TPU default since round 5): lookup+pack in ONE Mosaic
+    # program, no cl plane. It LOST by ~5% in round 4 against the
+    # 768-row direct lookup; with the round-5 rank tables the fetch is
+    # 2.4x lighter and fusion wins: 0.274 vs dense's 0.296 s per 32 MB
+    # engine encode (chip-gated container-identical).
     # dense: in-kernel word-stream assembly (reverse group window) —
-    # 2.1x the bubble+scatter pack on v5e and removes the compaction
-    # scatter entirely (48 vs 102 ms kernel at 32 MB, round 3).
-    # fused: lookup+pack in ONE Mosaic program (no cl plane, round 4 —
-    # measured ~5% slower than the split pipeline, kept selectable).
+    # 2.1x the bubble+scatter pack on v5e, no compaction scatter.
     # pallas = bubble-stream legacy, merge/scatter = XLA packers.
     return os.environ.get("MHC_PACK_METHOD") or (
-        "dense" if _tpu() else "merge")
+        "fused" if _tpu() else "merge")
 
 
 def lookup_method() -> str:

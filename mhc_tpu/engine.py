@@ -227,7 +227,8 @@ def encode(st: Staged, hist_method: str | None = None,
         if pack_method == "fused" and utd is not None:
             from .ops.kernels import encode_pallas
             words, bits = encode_pallas.pack_blocks_fused_sm(
-                utd, nvd, tables)
+                utd, nvd, tables,
+                variant=api._fused_variant())
             words, bits = _subst(words, bits, ud, nvd, utd)
             bits.copy_to_host_async()
             if dev_offs:

@@ -560,12 +560,14 @@ def _fused_kernel(ft_ref, nv_ref, sym_ref, out_ref, nbits_ref,
         ctxs[:] = jnp.zeros((8, 128), jnp.int32)
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    ft = ft_ref[:]                          # (256, 768) int8 | bf16
+    ft = ft_ref[:]                  # (256, 768|316) int8 | bf16
     nv = nv_ref[0]                          # (8, 128) int32
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, 8, 128), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (15, 8, 128), 0) + 1
     dn = (((0,), (0,)), ((), ()))
-    oh_dt = jnp.bfloat16 if variant == "bf16" else jnp.int8
-    acc_dt = jnp.float32 if variant == "bf16" else jnp.int32
+    bf_variants = ("bf16", "rankbf")
+    oh_dt = jnp.bfloat16 if variant in bf_variants else jnp.int8
+    acc_dt = jnp.float32 if variant in bf_variants else jnp.int32
     boundary_ctx = ctxs[:]
     w32_iota = jax.lax.broadcasted_iota(jnp.int32, (PWINDOW, 8, 128), 0)
 
@@ -580,6 +582,29 @@ def _fused_kernel(ft_ref, nv_ref, sym_ref, out_ref, nbits_ref,
                                 preferred_element_type=acc_dt)
         curw = jnp.broadcast_to(cur[None], (256, 8, 128))
         sel = curw == iota
+        if variant in ("rank", "rankbf"):
+            # rank-table resolve (round 5) — identical math to
+            # lookup_pallas's rank variants: one 256-deep rank pick,
+            # len from 14 rank-vs-cum compares, code = fcb[len]+rank-256
+            if variant == "rankbf":
+                rankv = jnp.sum(jnp.where(sel, x[0:256], 0.0),
+                                axis=0).astype(jnp.int32)
+                pr = x[256:316].astype(jnp.int32)
+            else:
+                rankv = jnp.sum(jnp.where(sel, x[0:256], 0),
+                                axis=0) + 128
+                pr = x[256:316] + 128
+            cum = pr[0:14] | (pr[15:29] << 8)
+            rw = jnp.broadcast_to(rankv[None], cum.shape)
+            length = 1 + jnp.sum((rw >= cum).astype(jnp.int32), axis=0)
+            fcb_rows = pr[30:45] | (pr[45:60] << 8)
+            lw = jnp.broadcast_to(length[None], fcb_rows.shape)
+            fcb = jnp.sum(jnp.where(liota == lw, fcb_rows, 0), axis=0)
+            valid = jg < nv
+            code = jnp.where(valid, fcb + rankv - 256,
+                             0).astype(jnp.uint32)
+            ln = jnp.where(valid, length, 0)
+            return code, ln, sel
         if variant == "bf16":
             y0 = jnp.sum(jnp.where(sel, x[0:256], 0.0),
                          axis=0).astype(jnp.int32)
@@ -659,7 +684,9 @@ def pack_blocks_fused_sm(ut: jnp.ndarray, n_valid: jnp.ndarray, tables,
     """Fused lookup+pack: (n, B) step-major u8/i32 units + canonical
     tables -> (words (B, W) u32 zero-padded, bits (B,) u32) — the same
     contract as lookup_cl_sm_* + pack_blocks_dense, with no cl plane."""
-    from .lookup_pallas import build_cl_planes, build_cl_planes_bf16
+    from .lookup_pallas import (build_cl_planes, build_cl_planes_bf16,
+                                build_cl_planes_rank,
+                                build_cl_planes_rankbf)
     assert PACK_UNROLL <= PGRP
     assert (CHUNK_STEPS // 2) % PACK_UNROLL == 0
     ut = ut.astype(jnp.int32)
@@ -676,14 +703,16 @@ def pack_blocks_fused_sm(ut: jnp.ndarray, n_valid: jnp.ndarray, tables,
         nv = jnp.concatenate([nv, jnp.zeros((Rp - B,), jnp.int32)])
     sym4 = ut.reshape(n_pad, n_tiles, 8, 128)
     nv4 = nv.reshape(n_tiles, 8, 128)
-    ft = (build_cl_planes_bf16(tables) if variant == "bf16"
-          else build_cl_planes(tables))
+    ft = {"bf16": build_cl_planes_bf16,
+          "rank": build_cl_planes_rank,
+          "rankbf": build_cl_planes_rankbf}.get(
+        variant, build_cl_planes)(tables)
     n_chunks = n_pad // CHUNK_STEPS
     out, nbits = pl.pallas_call(
         partial(_fused_kernel, W=W, n_chunks=n_chunks, variant=variant),
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((256, 768), lambda t, o: (0, 0),
+            pl.BlockSpec(tuple(ft.shape), lambda t, o: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda t, o: (t, 0, 0),
                          memory_space=pltpu.VMEM),

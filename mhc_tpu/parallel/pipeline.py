@@ -420,9 +420,14 @@ def decompress_sharded(blob: bytes, mesh: Mesh | None = None,
                 bool(meta.flags & container.FLAG_ALIGNED_PAYLOAD))
             if raw_m.any():
                 out = np.array(out, copy=True)
-                lits = np.asarray(bitpack.words_to_unit_bytes(
-                    jnp.asarray(words[: hi - lo]), du))
-                out[raw_m] = lits[raw_m]
+                # host-side unpack: words is already host np here — a
+                # device round-trip of the padded words buffer through
+                # the relay cost ~2x the input (round-5 measurement)
+                w = np.zeros((int(raw_m.sum()), du // 4), np.uint32)
+                src = words[: hi - lo][raw_m][:, : du // 4]
+                w[:, : src.shape[1]] = src
+                lits = w.astype(">u4").view(np.uint8).reshape(-1, du)
+                out[raw_m] = lits
         parts.append(out.reshape(-1)[: (hi - lo - 1) * du + nv[-1]])
     data = b"".join(p.tobytes() for p in parts)
     if verify:

@@ -191,7 +191,7 @@ def test_lookup_sm_pallas_variants_interpret(variant):
     assert (ref == got).all()
 
 
-@pytest.mark.parametrize("variant", ["i8", "bf16"])
+@pytest.mark.parametrize("variant", ["i8", "bf16", "rank", "rankbf"])
 def test_fused_lookup_pack_matches_split(variant):
     """pack_blocks_fused_sm (one Mosaic program, no cl plane) must equal
     lookup_cl_sm + pack_blocks_dense words-and-bits exactly, including

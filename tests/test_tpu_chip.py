@@ -166,14 +166,16 @@ def test_lookup_pallas_bit_exact(corpus16):
 
 
 def test_fused_pack_container_identity(corpus16):
-    """MHC_PACK_METHOD=fused (one-program lookup+pack megakernel,
-    round-4 non-default) must produce containers byte-identical to the
-    default split pipeline on the real chip."""
+    """MHC_PACK_METHOD=fused (one-program lookup+pack megakernel — the
+    TPU DEFAULT since round 5, when the rank-table fetch flipped the
+    round-4 negative result) must produce containers byte-identical to
+    the split dense pipeline on the real chip."""
     from mhc_tpu import api
     data = corpus16[: 8 << 20]
-    ref = api.compress(data, mode="markov")
     old = os.environ.pop("MHC_PACK_METHOD", None)
     try:
+        os.environ["MHC_PACK_METHOD"] = "dense"
+        ref = api.compress(data, mode="markov")
         os.environ["MHC_PACK_METHOD"] = "fused"
         assert api.compress(data, mode="markov") == ref
     finally:
